@@ -1,12 +1,18 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh so sharding
 paths are exercised without TPU hardware (the driver dry-runs the real
-multi-chip path separately via __graft_entry__.dryrun_multichip)."""
+multi-chip path separately via __graft_entry__.dryrun_multichip).
+
+Note: the axon TPU plugin in this environment ignores the JAX_PLATFORMS
+env var, so the platform must be forced via jax.config before first use."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
