@@ -118,7 +118,9 @@ class FieldBackend:
             tot = limb + carry
             return tot >> 16, tot & MASK16
 
-        _, outT = jax.lax.scan(step, jnp.zeros(x.shape[:-1], jnp.uint32), xT)
+        # Derive the carry init from x so its sharding/varying-axes type
+        # matches the loop body under shard_map.
+        _, outT = jax.lax.scan(step, x[..., 0] * jnp.uint32(0), xT)
         return jnp.moveaxis(outT, 0, -1)
 
     @staticmethod
@@ -135,7 +137,7 @@ class FieldBackend:
             tot = limb + carry
             return tot >> 8, tot & MASK8
 
-        _, outT = jax.lax.scan(step, jnp.zeros(x.shape[:-1], jnp.uint32), xT)
+        _, outT = jax.lax.scan(step, x[..., 0] * jnp.uint32(0), xT)
         return jnp.moveaxis(outT, 0, -1)[..., :out_limbs]
 
     @staticmethod
@@ -151,7 +153,7 @@ class FieldBackend:
             return d >> 31, d & MASK16
 
         borrow, outT = jax.lax.scan(
-            step, jnp.zeros(x.shape[:-1], jnp.uint32), (xT, yT)
+            step, x[..., 0] * jnp.uint32(0), (xT, yT)
         )
         return jnp.moveaxis(outT, 0, -1), borrow
 
@@ -201,8 +203,11 @@ class FieldBackend:
         # fori_loop of 32 shifted multiply-accumulates; each partial fits
         # uint32 (≤ 32·255² < 2²¹). The Pallas kernel replaces this with
         # an MXU-tiled formulation.
-        batch = a8.shape[:-1]
-        conv0 = jnp.zeros(batch + (2 * L8 - 1,), jnp.uint32)
+        # conv0 derives from a8/b8 so its sharding type matches the body
+        # under shard_map.
+        conv0 = jnp.pad(
+            a8 * jnp.uint32(0), [(0, 0)] * (a8.ndim - 1) + [(0, L8 - 1)]
+        )
 
         def body(i, conv):
             ai = jax.lax.dynamic_slice_in_dim(a8, i, 1, axis=-1)
@@ -269,7 +274,7 @@ class FieldBackend:
         MSB-first square-and-multiply as one fori_loop (compiles the
         multiply kernel once, not once per exponent bit)."""
         bits = self._inv_exp_bits
-        init = jnp.broadcast_to(self.one, a.shape).astype(jnp.uint32)
+        init = (a * jnp.uint32(0)).at[..., 0].set(1)
 
         def body(i, r):
             r = self.square(r)
@@ -287,7 +292,7 @@ class FieldBackend:
         bits = jnp.asarray(
             [e >> (nbits - 1 - i) & 1 for i in range(nbits)], dtype=jnp.uint32
         )
-        init = jnp.broadcast_to(self.one, a.shape).astype(jnp.uint32)
+        init = (a * jnp.uint32(0)).at[..., 0].set(1)
 
         def body(i, r):
             r = self.square(r)

@@ -1,0 +1,261 @@
+"""Pallas TPU kernels for the field-arithmetic hot path.
+
+The jnp backend (field_jnp) is batch-major (``[N, 16]``) and keeps every
+intermediate in HBM — each limb op is an HBM round trip, which caps the
+satisfiability pipeline around ~1M constraint-evals/s/chip. These kernels
+flip the layout to **limb-major** ``[16, N]`` and tile the batch dimension
+as ``[limb, 8 sublanes, 128 lanes]`` so that:
+
+  * one limb-row op == one full (8, 128) VPU tile — 100% lane utilization;
+  * the entire multiply pipeline (8-bit split → 32×32 convolution →
+    carry → table fold → shift-subtract) runs on VMEM-resident values:
+    HBM traffic is exactly read a, read b, write out.
+
+All constants (modulus limbs, fold table, shifted moduli) are baked into
+the kernel as Python ints, so the compiled program is pure straight-line
+VPU code. The math pipeline is identical to field_jnp (same oracle tests
+cover both)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import PrimeField
+
+L16 = 16
+L8 = 32
+TILE = 1024  # batch elements per grid step: 8 sublanes × 128 lanes
+SUB = 8
+LANES = 128
+
+
+def _digits(v: int, width: int, count: int) -> List[int]:
+    mask = (1 << width) - 1
+    return [(v >> (width * i)) & mask for i in range(count)]
+
+
+class _Consts:
+    """Host-side integer constants baked into kernels for one field."""
+
+    def __init__(self, field: PrimeField):
+        p = field.p
+        self.p16 = _digits(p, 16, L16)
+        # Fold rows: limbs8(2^(8*(32+i)) mod p), i = 0..33.
+        self.fold = [_digits(pow(2, 8 * (L8 + i), p), 8, L8) for i in range(34)]
+        # Shift-subtract chain: p << k as 17 16-bit limbs, high k first.
+        n_steps = 266 - field.NUM_BITS
+        self.ps = [_digits(p << k, 16, 17) for k in range(n_steps - 1, -1, -1)]
+
+
+# ---------------------------------------------------------------------------
+# Row-list pipeline stages. Each "row" is an (8, 128) uint32 array (one
+# VPU tile holding TILE batch elements for one limb/digit position).
+# ---------------------------------------------------------------------------
+def _split8_rows(rows16: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    out = []
+    for r in rows16:
+        out.append(r & 0xFF)
+        out.append((r >> 8) & 0xFF)
+    return out
+
+
+def _conv_rows(a8: List[jnp.ndarray], b8: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """conv[k] = Σ_{i+j=k} a8[i]·b8[j]; partials ≤ 32·255² < 2²² in uint32."""
+    conv: List = [None] * (2 * L8 - 1)
+    for i in range(L8):
+        ai = a8[i]
+        for j in range(L8):
+            t = ai * b8[j]
+            k = i + j
+            conv[k] = t if conv[k] is None else conv[k] + t
+    return conv
+
+
+def _carry8_rows(rows: List[jnp.ndarray], n_out: int) -> List[jnp.ndarray]:
+    out = []
+    carry = None
+    for i in range(n_out):
+        limb = rows[i] if i < len(rows) else None
+        if limb is None and carry is None:
+            out.append(jnp.zeros_like(rows[0]))
+            continue
+        tot = limb if carry is None else (carry if limb is None else limb + carry)
+        out.append(tot & 0xFF)
+        carry = tot >> 8
+    return out
+
+
+def _fold_rows(d: List[jnp.ndarray], consts: _Consts) -> List[jnp.ndarray]:
+    """low(32 digits) + Σ_i d[32+i]·fold[i] — scalar-constant MACs.
+    Zero-coefficient terms are skipped at trace time (the fold rows are
+    sparse for structured moduli like the pasta fields)."""
+    out: List = list(d[:32])
+    for i in range(len(d) - 32):
+        hi = d[32 + i]
+        row = consts.fold[i]
+        for l in range(32):
+            c = row[l]
+            if c == 0:
+                continue
+            t = hi * jnp.uint32(c)
+            out[l] = t if out[l] is None else out[l] + t
+    return out
+
+
+def _join16_rows(d8: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    return [d8[2 * i] | (d8[2 * i + 1] << 8) for i in range(len(d8) // 2)]
+
+
+def _chain_rows(x: List[jnp.ndarray], consts: _Consts) -> List[jnp.ndarray]:
+    """Branch-free long division: for each shifted modulus (high first),
+    subtract with borrow and keep the difference when it doesn't borrow.
+    x: 17 rows of 16-bit limbs."""
+    for ps in consts.ps:
+        borrow = None
+        diff = []
+        for i in range(17):
+            d = x[i] - jnp.uint32(ps[i]) if borrow is None else x[i] - jnp.uint32(ps[i]) - borrow
+            borrow = d >> 31
+            diff.append(d & 0xFFFF)
+        keep = borrow == 0  # [8,128] bool
+        x = [jnp.where(keep, diff[i], x[i]) for i in range(17)]
+    return x
+
+
+def _reduce_rows(digit_rows: List[jnp.ndarray], consts: _Consts) -> List[jnp.ndarray]:
+    """Wide 8-bit-basis digits (< 2²⁴ each, ≤ 66 positions) → 16 canonical
+    16-bit limb rows. Carry → fold → carry → fold → chain."""
+    d = _carry8_rows(digit_rows, 66)
+    f1 = _fold_rows(d, consts)
+    f1 = _carry8_rows(f1, 34)
+    f2 = _fold_rows(f1, consts)
+    f2 = _carry8_rows(f2, 34)
+    x16 = _join16_rows(f2[:32])  # 16 rows
+    x16.append(f2[32] | (f2[33] << 8))  # 17th row (bits 256..271)
+    x16 = _chain_rows(x16, consts)
+    return x16[:L16]
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+def _mul_kernel(consts: _Consts, a_ref, b_ref, o_ref):
+    a_rows = [a_ref[i] for i in range(L16)]
+    b_rows = [b_ref[i] for i in range(L16)]
+    conv = _conv_rows(_split8_rows(a_rows), _split8_rows(b_rows))
+    out = _reduce_rows(conv, consts)
+    o_ref[...] = jnp.stack(out)
+
+
+def _mul_digits_kernel(consts: _Consts, a_ref, b_ref, o_ref):
+    """Multiply and emit canonical 8-bit digits [32, ...] (for the matvec
+    segment-sum, which accumulates digits)."""
+    a_rows = [a_ref[i] for i in range(L16)]
+    b_rows = [b_ref[i] for i in range(L16)]
+    conv = _conv_rows(_split8_rows(a_rows), _split8_rows(b_rows))
+    out16 = _reduce_rows(conv, consts)
+    o_ref[...] = jnp.stack(_split8_rows(out16))
+
+
+def _reduce_kernel(consts: _Consts, d_ref, o_ref):
+    """Reduce [32, ...] digits (each < 2²⁴, e.g. segment sums) to canonical
+    16-limb rows."""
+    rows = [d_ref[i] for i in range(L8)]
+    o_ref[...] = jnp.stack(_reduce_rows(rows, consts))
+
+
+class PallasFieldOps:
+    """Limb-major field ops backed by Pallas kernels.
+
+    Array convention: ``[L, N]`` uint32 with N a multiple of TILE (wrappers
+    pad). Use `to_limb_major` / `from_limb_major` at the boundary."""
+
+    def __init__(self, field: PrimeField, interpret: bool = False):
+        self.field = field
+        self.consts = _Consts(field)
+        self.interpret = interpret
+
+        def call(kernel, in_rows: int, out_rows: int):
+            k = partial(kernel, self.consts)
+
+            @jax.jit
+            def run(*args):
+                n = args[0].shape[1]
+                assert n % TILE == 0, "pad batch to TILE"
+                grid = (n // TILE,)
+                # index_map returns block-unit indices: grid step i maps to
+                # element offset (0, i·SUB, 0) of the [rows, n/128, 128] array.
+                blk = lambda rows: pl.BlockSpec(
+                    (rows, SUB, LANES),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                reshaped = [
+                    x.reshape(r, n // LANES, LANES)
+                    for x, r in zip(args, [in_rows] * len(args))
+                ]
+                out = pl.pallas_call(
+                    k,
+                    grid=grid,
+                    in_specs=[blk(in_rows)] * len(args),
+                    out_specs=blk(out_rows),
+                    out_shape=jax.ShapeDtypeStruct(
+                        (out_rows, n // LANES, LANES), jnp.uint32
+                    ),
+                    interpret=self.interpret,
+                )(*reshaped)
+                return out.reshape(out_rows, n)
+
+            return run
+
+        self._mul = call(_mul_kernel, L16, L16)
+        self._mul_digits = call(_mul_digits_kernel, L16, L8)
+        self._reduce = call(_reduce_kernel, L8, L16)
+
+    # -- boundary helpers -------------------------------------------------
+    @staticmethod
+    def pad_n(n: int) -> int:
+        return -(-n // TILE) * TILE
+
+    @staticmethod
+    def to_limb_major(x_bm: jnp.ndarray, pad_to: int | None = None) -> jnp.ndarray:
+        """[N, L] → [L, N'] with zero padding."""
+        n = x_bm.shape[0]
+        target = pad_to or PallasFieldOps.pad_n(n)
+        x = x_bm.T
+        if target != n:
+            x = jnp.pad(x, ((0, 0), (0, target - n)))
+        return x
+
+    @staticmethod
+    def from_limb_major(x_lm: jnp.ndarray, n: int) -> jnp.ndarray:
+        return x_lm[:, :n].T
+
+    # -- ops ----------------------------------------------------------------
+    def mul(self, a_lm: jnp.ndarray, b_lm: jnp.ndarray) -> jnp.ndarray:
+        return self._mul(a_lm, b_lm)
+
+    def mul_digits(self, a_lm: jnp.ndarray, b_lm: jnp.ndarray) -> jnp.ndarray:
+        return self._mul_digits(a_lm, b_lm)
+
+    def reduce_digits(self, d_lm: jnp.ndarray) -> jnp.ndarray:
+        return self._reduce(d_lm)
+
+
+_OPS: Dict[Tuple[int, bool], PallasFieldOps] = {}
+
+
+def get_pallas_ops(field: PrimeField, interpret: bool = False) -> PallasFieldOps:
+    key = (field.p, interpret)
+    ops = _OPS.get(key)
+    if ops is None:
+        ops = PallasFieldOps(field, interpret=interpret)
+        _OPS[key] = ops
+    return ops

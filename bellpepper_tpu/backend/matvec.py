@@ -103,29 +103,182 @@ def assemble_z(be: FieldBackend, inputs, aux) -> jnp.ndarray:
     return jnp.asarray(be.to_limbs(list(inputs) + list(aux)))
 
 
+def _pad_coo(rows, cols, coeff_ids, multiple: int, zero_id: int):
+    """Pad COO entry arrays to a multiple of `multiple` with inert entries
+    (row 0, col 0, coefficient 0 — contributes nothing)."""
+    e = rows.shape[0]
+    ep = -(-max(e, 1) // multiple) * multiple
+    if ep == e:
+        return rows, cols, coeff_ids
+    pad = ep - e
+    return (
+        np.concatenate([rows, np.zeros(pad, np.int32)]),
+        np.concatenate([cols, np.zeros(pad, np.int32)]),
+        np.concatenate([coeff_ids, np.full(pad, zero_id, np.int32)]),
+    )
+
+
+class EllMatrix(NamedTuple):
+    """Scatter-free sparse layout for TPU row reduction.
+
+    Rows are permuted into buckets of uniform padded width K (next power
+    of two of the row's nnz); entries are stored bucket-major so each
+    bucket's row sums are a dense ``reshape([Rk, K, 32]).sum(1)``, and the
+    global row order is restored with one gather (``inv_pos``). No
+    scatter-add anywhere — XLA scatter was measured 70× slower than the
+    dense pipeline on v5e."""
+
+    cols: jnp.ndarray  # int32[total_slots] (bucket-major, padded)
+    coeff_ids: jnp.ndarray  # int32[total_slots]
+    buckets: tuple  # ((K, start_slot, n_rows), ...) static
+    inv_pos: jnp.ndarray  # int32[R]: global row -> position in bucket order
+
+    @staticmethod
+    def build(rows: np.ndarray, cols: np.ndarray, coeff_ids: np.ndarray,
+              num_rows: int, zero_id: int) -> "EllMatrix":
+        R = num_rows
+        order = np.argsort(rows, kind="stable")
+        rows_s, cols_s, cids_s = rows[order], cols[order], coeff_ids[order]
+        nnz = np.bincount(rows_s, minlength=R).astype(np.int64)
+        ptr = np.zeros(R + 1, np.int64)
+        np.cumsum(nnz, out=ptr[1:])
+        # Bucket width per row: next pow2 (min 1).
+        K = np.maximum(1, 2 ** np.ceil(np.log2(np.maximum(nnz, 1))).astype(np.int64))
+        # Row order: by bucket width, then original row id (stable).
+        perm = np.lexsort((np.arange(R), K))  # positions -> row ids
+        inv_pos = np.empty(R, np.int64)
+        inv_pos[perm] = np.arange(R)
+        K_perm = K[perm]
+        nnz_perm = nnz[perm]
+        off = np.zeros(R + 1, np.int64)
+        np.cumsum(K_perm, out=off[1:])
+        total = int(off[-1])
+        # slot -> (row position, index within row)
+        slot_row = np.repeat(np.arange(R), K_perm)
+        within = np.arange(total) - off[slot_row]
+        live = within < nnz_perm[slot_row]
+        src = ptr[perm[slot_row]] + within
+        cols_p = np.where(live, cols_s[np.minimum(src, len(cols_s) - 1)], 0)
+        cids_p = np.where(live, cids_s[np.minimum(src, len(cids_s) - 1)], zero_id)
+        # Static bucket table: contiguous runs of equal K in permuted order.
+        buckets = []
+        i = 0
+        while i < R:
+            k = int(K_perm[i])
+            j = i
+            while j < R and K_perm[j] == k:
+                j += 1
+            buckets.append((k, int(off[i]), j - i))
+            i = j
+        return EllMatrix(
+            cols=jnp.asarray(cols_p.astype(np.int32)),
+            coeff_ids=jnp.asarray(cids_p.astype(np.int32)),
+            buckets=tuple(buckets),
+            inv_pos=jnp.asarray(inv_pos.astype(np.int32)),
+        )
+
+
 class Satisfier:
     """Compiled satisfiability checker for one R1CS.
+
+    Two execution paths:
+      * jnp (batch-major) — runs anywhere, used on CPU;
+      * Pallas (limb-major VMEM kernels) — the TPU production path,
+        selected automatically on TPU backends.
 
     The jitted core returns (all_ok, first_bad_row); `which_is_unsatisfied`
     maps the row back to the constraint path on the host, mirroring
     TestConstraintSystem::which_is_unsatisfied (test_cs.rs:239-253)."""
 
-    def __init__(self, r1cs: R1CS):
+    def __init__(self, r1cs: R1CS, use_pallas: bool | None = None):
         self.r1cs = r1cs
         self.backend = get_backend(r1cs.field)
-        self.device = DeviceR1CS.from_r1cs(r1cs)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
 
+        if use_pallas:
+            self._build_pallas()
+        else:
+            self.device = DeviceR1CS.from_r1cs(r1cs)
+            be = self.backend
+            d = self.device
+
+            @jax.jit
+            def check(z):
+                bad = violation_mask(be, d, z)
+                any_bad = jnp.any(bad)
+                first = jnp.argmax(bad)  # 0 when none; gated by any_bad
+                return any_bad, first
+
+            self._check = check
+
+    def _build_pallas(self):
+        from .field_pallas import TILE, get_pallas_ops
+
+        r = self.r1cs
         be = self.backend
-        d = self.device
+        ops = get_pallas_ops(r.field)
+        self._ops = ops
+
+        # Coefficient table with a guaranteed zero entry for padding.
+        table = list(r.coeff_table)
+        try:
+            zero_id = table.index(0)
+        except ValueError:
+            zero_id = len(table)
+            table.append(0)
+        coeff_limbs = jnp.asarray(be.to_limbs(table))
+
+        mats = {
+            name: EllMatrix.build(
+                getattr(r, name).rows,
+                getattr(r, name).cols,
+                getattr(r, name).coeff_ids,
+                r.num_constraints,
+                zero_id,
+            )
+            for name in ("a", "b", "c")
+        }
+
+        R = r.num_constraints
+        Rp = -(-max(R, 1) // TILE) * TILE
+
+        def matvec_lm(mat: EllMatrix, z_bm):
+            # One padded gather + one batched modmul over all bucket slots.
+            total = mat.cols.shape[0]
+            tp = -(-max(total, 1) // TILE) * TILE
+            zv = z_bm[mat.cols]  # [total, 16]
+            cv = coeff_limbs[mat.coeff_ids]
+            a_lm = ops.to_limb_major(zv, tp)
+            b_lm = ops.to_limb_major(cv, tp)
+            digits = ops.mul_digits(a_lm, b_lm)[:, :total].T  # [total, 32]
+            # Dense per-bucket row sums (digits ≤ 255, K ≤ 2^20 → uint32 ok).
+            parts = []
+            for k, start, n_rows in mat.buckets:
+                seg = digits[start : start + n_rows * k]
+                parts.append(
+                    jnp.sum(seg.reshape(n_rows, k, 32), axis=1, dtype=jnp.uint32)
+                )
+            rows_bucketed = jnp.concatenate(parts, axis=0)  # [R, 32] bucket order
+            rowsum = rows_bucketed[mat.inv_pos]  # [R, 32] global order
+            rs = rowsum.T
+            if Rp != R:
+                rs = jnp.pad(rs, ((0, 0), (0, Rp - R)))
+            return ops.reduce_digits(rs)  # [16, Rp] canonical
 
         @jax.jit
-        def check(z):
-            bad = violation_mask(be, d, z)
-            any_bad = jnp.any(bad)
-            first = jnp.argmax(bad)  # 0 when none; disambiguated by any_bad
-            return any_bad, first
+        def check(z_bm):
+            az = matvec_lm(mats["a"], z_bm)
+            bz = matvec_lm(mats["b"], z_bm)
+            cz = matvec_lm(mats["c"], z_bm)
+            lhs = ops.mul(az, bz)  # [16, Rp]
+            bad = jnp.any(lhs != cz, axis=0)[:R]
+            return jnp.any(bad), jnp.argmax(bad)
 
         self._check = check
+        self._matvec_lm = matvec_lm
+        self._mats = mats
 
     def z_from_assignments(self, inputs, aux) -> jnp.ndarray:
         return assemble_z(self.backend, inputs, aux)
@@ -142,3 +295,158 @@ class Satisfier:
         if self.r1cs.names is not None:
             return self.r1cs.names[row]
         return f"constraint #{row}"
+
+
+class _PallasAdapter:
+    """Batch-major facade over the limb-major Pallas kernels."""
+
+    def __init__(self, field):
+        from .field_pallas import TILE, get_pallas_ops
+
+        self.ops = get_pallas_ops(field)
+        self.tile = TILE
+
+    def mul_to_digits(self, a_bm, b_bm):
+        n = a_bm.shape[0]
+        tp = -(-n // self.tile) * self.tile
+        a = self.ops.to_limb_major(a_bm, tp)
+        b = self.ops.to_limb_major(b_bm, tp)
+        return self.ops.mul_digits(a, b)[:, :n].T  # [n, 32]
+
+    def reduce_digits(self, d_bm):
+        n = d_bm.shape[0]
+        tp = -(-n // self.tile) * self.tile
+        d = d_bm.T
+        if tp != n:
+            d = jnp.pad(d, ((0, 0), (0, tp - n)))
+        return self.ops.reduce_digits(d)[:, :n].T  # [n, 16]
+
+    def mul(self, a_bm, b_bm):
+        n = a_bm.shape[0]
+        tp = -(-n // self.tile) * self.tile
+        a = self.ops.to_limb_major(a_bm, tp)
+        b = self.ops.to_limb_major(b_bm, tp)
+        return self.ops.mul(a, b)[:, :n].T
+
+
+class _JnpAdapter:
+    """Same facade over the pure-jnp backend (CPU / virtual meshes)."""
+
+    def __init__(self, field):
+        self.be = get_backend(field)
+
+    def mul_to_digits(self, a_bm, b_bm):
+        return self.be._split8(self.be.mul(a_bm, b_bm))
+
+    def reduce_digits(self, d_bm):
+        return self.be._reduce_wide8(d_bm)
+
+    def mul(self, a_bm, b_bm):
+        return self.be.mul(a_bm, b_bm)
+
+
+def build_templated_check(template: R1CS, batch: int, use_pallas: bool):
+    """Core of the templated satisfiability check (see TemplatedSatisfier).
+    Returns an UNJITTED function z3 [B, S_t, 16] → bool[B·Rt] violation
+    mask, suitable for wrapping in jit or shard_map."""
+    assert template.num_inputs == 1, "templates must be input-free"
+    be = get_backend(template.field)
+    impl = _PallasAdapter(template.field) if use_pallas else _JnpAdapter(template.field)
+
+    table = list(template.coeff_table)
+    try:
+        zero_id = table.index(0)
+    except ValueError:
+        zero_id = len(table)
+        table.append(0)
+    coeff_limbs = jnp.asarray(be.to_limbs(table))
+
+    mats = {
+        name: EllMatrix.build(
+            getattr(template, name).rows,
+            getattr(template, name).cols,
+            getattr(template, name).coeff_ids,
+            template.num_constraints,
+            zero_id,
+        )
+        for name in ("a", "b", "c")
+    }
+    Rt = template.num_constraints
+
+    def matvec(mat: EllMatrix, z3):
+        # z3: [B, S_t, 16]. Shared-index gathers over the slot axis only —
+        # the per-index gather cost (~30 ns on v5e) amortizes over B.
+        B = z3.shape[0]
+        total = mat.cols.shape[0]
+        zv = z3[:, mat.cols]  # [B, total, 16]
+        cv = jnp.broadcast_to(coeff_limbs[mat.coeff_ids][None], (B, total, 16))
+        digits = impl.mul_to_digits(
+            zv.reshape(B * total, 16), cv.reshape(B * total, 16)
+        ).reshape(B, total, 32)
+        parts = []
+        for k, start, n_rows in mat.buckets:
+            seg = digits[:, start : start + n_rows * k]
+            parts.append(
+                jnp.sum(seg.reshape(B, n_rows, k, 32), axis=2, dtype=jnp.uint32)
+            )
+        rows_b = jnp.concatenate(parts, axis=1)  # [B, Rt, 32] bucket order
+        rowsum = rows_b[:, mat.inv_pos]  # [B, Rt, 32] template order
+        return impl.reduce_digits(rowsum.reshape(B * Rt, 32))  # [B·Rt, 16]
+
+    def violations(z3):
+        az = matvec(mats["a"], z3)
+        bz = matvec(mats["b"], z3)
+        cz = matvec(mats["c"], z3)
+        lhs = impl.mul(az, bz)
+        return jnp.any(lhs != cz, axis=-1)  # bool[B·Rt]
+
+    return violations
+
+
+class TemplatedSatisfier:
+    """Satisfiability checker for B independent copies of one template
+    R1CS — the compiled form of the reference's parallel-synthesis seam
+    (constraint_system.rs:138-148): the global system is block-diagonal,
+    so every gather uses only the template's (tiny) index sets, shared
+    across the batch. This sidesteps the TPU's per-index gather cost
+    (~30 ns/index measured on v5e), which dominates the generic path.
+
+    z layout: [B, S_t, 16] where S_t = template num_slots and slot 0 of
+    every instance is ONE (templates are input-free beyond ONE, like
+    WitnessCS children before an extend, witness_cs.rs:159-161)."""
+
+    def __init__(self, template: R1CS, batch: int, use_pallas: bool | None = None):
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.r1cs = template
+        self.batch = batch
+        self.backend = get_backend(template.field)
+        violations = build_templated_check(template, batch, use_pallas)
+
+        @jax.jit
+        def check(z3):
+            bad = violations(z3)
+            return jnp.any(bad), jnp.argmax(bad)
+
+        self._check = check
+        self.num_constraints_total = batch * template.num_constraints
+
+    def z_from_instances(self, z3: jnp.ndarray) -> jnp.ndarray:
+        return jnp.asarray(z3, jnp.uint32)
+
+    def is_satisfied(self, z3) -> bool:
+        any_bad, _ = self._check(z3)
+        return not bool(any_bad)
+
+    def which_is_unsatisfied(self, z3) -> Optional[str]:
+        any_bad, first = self._check(z3)
+        if not bool(any_bad):
+            return None
+        flat = int(first)
+        inst, row = divmod(flat, self.r1cs.num_constraints)
+        name = (
+            self.r1cs.names[row]
+            if self.r1cs.names is not None
+            else f"constraint #{row}"
+        )
+        return f"instance {inst}: {name}"

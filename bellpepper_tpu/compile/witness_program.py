@@ -1,0 +1,521 @@
+"""WitnessProgram — compile a witness tape into a vectorized device program.
+
+The tape (TapeCS) gives one op per witness slot. Compilation:
+
+  1. assign each op a dependency level (free slots = level 0);
+  2. group ops by (level, opcode[, arity]) into *stages* whose operand and
+     output indices become static int32 arrays;
+  3. evaluation executes stages in level order as gather → vector op →
+     scatter over a values buffer, **batched over B independent circuit
+     instances** (shape [B, num_slots]).
+
+Value domains: bit/u32 ops live in a uint32 buffer; field ops in a limb
+buffer [B, n_field_rows, 16] (only field-valued slots get limb rows).
+Field operands are resolved at use time from one of three sources: a limb
+row (field-op output), a u32 lift from the bit buffer (bit-domain slots,
+ONE), or a caller-provided free-field input. For hash circuits the field
+buffer is empty and witness generation is pure u32 vector code — the
+TPU-native equivalent of the reference's SizedWitness straight-line
+generators (witness_cs.rs:7-41)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..backend.field_jnp import get_backend
+from ..fields import PrimeField
+from .tape import V_CONST, V_VAR, Op, TapeCS
+
+BIT_OUT_OPS = {"xor", "and", "and_not", "nor", "ch", "maj", "addmany",
+               "num_iszero", "fbits_le"}
+FIELD_OUT_OPS = {"fadd", "fmul", "finv", "copy", "pack", "num_inv_or_one",
+                 "select"}
+
+# field-operand source kinds
+SRC_ROW = 0  # flimbs row
+SRC_LIFT = 1  # lift u32 value from the bit buffer
+SRC_FREE = 2  # caller-provided free-field limb input
+
+
+class _Stage:
+    __slots__ = ("opcode", "outs", "arrs", "meta")
+
+    def __init__(self, opcode, outs, arrs, meta=None):
+        self.opcode = opcode
+        self.outs = outs
+        self.arrs = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+                     for k, v in arrs.items()}
+        self.meta = meta
+
+
+class WitnessProgram:
+    def __init__(self, tape: TapeCS):
+        self.field: PrimeField = tape.field
+        self.backend = get_backend(self.field)
+        self.num_inputs, self.num_aux, ops, self.free_slots = tape.snapshot()
+        self.num_slots = self.num_inputs + self.num_aux
+        self._compile(ops)
+        self._eval = None
+
+    # ------------------------------------------------------------------
+    # compilation
+    # ------------------------------------------------------------------
+    def _compile(self, op_list: List[Op]) -> None:
+        free_set = set(self.free_slots)
+        field_out = {
+            o
+            for op in op_list
+            if op.opcode in FIELD_OUT_OPS
+            for o in op.outs
+        }
+        self._field_out = field_out
+
+        # Field rows for field-op outputs.
+        field_rows: Dict[int, int] = {}
+        for s in sorted(field_out):
+            field_rows[s] = len(field_rows)
+        self.field_rows = field_rows
+
+        # Free field slots: free slots consumed as field operands.
+        field_consumed = set()
+
+        def note_field_operand(slot: int):
+            if slot in free_set:
+                field_consumed.add(slot)
+
+        # Levels. Recording order respects dependencies, so a single pass
+        # suffices; free slots (and ONE) are level 0.
+        produced = {o for op in op_list for o in op.outs}
+        level = {s: 0 for s in range(self.num_slots) if s not in produced}
+
+        def operand_slots(op: Op) -> List[int]:
+            oc = op.opcode
+            if oc in ("xor", "and", "and_not", "nor", "fadd", "fmul", "finv",
+                      "copy", "fbits_le"):
+                return list(op.args)
+            if oc in ("ch", "maj", "pack"):
+                return [s for (k, s, _n) in op.args if k == V_VAR]
+            if oc == "addmany":
+                return [s for word in op.args for (k, s, _n) in word if k == V_VAR]
+            if oc == "select":
+                (ck, cs_, _cn), x, y = op.args
+                out = [x, y]
+                if ck == V_VAR:
+                    out.append(cs_)
+                return out
+            if oc in ("num_iszero", "num_inv_or_one"):
+                return [s for (_c, s) in op.args]
+            raise AssertionError(oc)
+
+        unique_ops: List[Op] = op_list
+        for op in unique_ops:
+            lv = 0
+            for s in operand_slots(op):
+                lv = max(lv, level[s])
+            lv += 1
+            for o in op.outs:
+                level[o] = lv
+            if op.opcode in ("fadd", "fmul", "finv", "copy", "select", "fbits_le"):
+                srcs = (
+                    op.args
+                    if op.opcode != "select"
+                    else [op.args[1], op.args[2]]
+                )
+                for s in srcs:
+                    if isinstance(s, int):
+                        note_field_operand(s)
+
+        self.free_field_slots = sorted(field_consumed)
+        free_field_idx = {s: i for i, s in enumerate(self.free_field_slots)}
+
+        def fsrc(slot: int) -> Tuple[int, int]:
+            if slot in field_rows:
+                return (SRC_ROW, field_rows[slot])
+            if slot in free_field_idx:
+                return (SRC_FREE, free_field_idx[slot])
+            return (SRC_LIFT, slot)  # ONE, bit-domain outputs, free bits
+
+        # Group into stages.
+        groups = defaultdict(list)
+        for op in unique_ops:
+            lv = level[op.outs[0]]
+            oc = op.opcode
+            if oc == "addmany":
+                key = (lv, oc, len(op.args), len(op.outs))
+            elif oc == "fbits_le":
+                key = (lv, oc, len(op.outs))
+            elif oc in ("pack", "num_iszero", "num_inv_or_one"):
+                key = (lv, oc, len(op.args))
+            else:
+                key = (lv, oc)
+            groups[key].append(op)
+
+        def views_to_arrays(view_lists):
+            """[W][...] of (kind, slot/const, neg) → dict of arrays."""
+            arr = np.asarray(view_lists, dtype=np.int64)  # [..., 3]
+            kind = arr[..., 0]
+            sv = arr[..., 1]
+            neg = arr[..., 2]
+            return {
+                "idx": np.where(kind == V_VAR, sv, 0).astype(np.int32),
+                "neg": np.where(kind == V_VAR, neg, 0).astype(np.uint32),
+                "isc": (kind == V_CONST).astype(np.uint32),
+                "cv": np.where(kind == V_CONST, sv, 0).astype(np.uint32),
+            }
+
+        def fop_arrays(slots: List[int], prefix: str):
+            srcs = [fsrc(s) for s in slots]
+            return {
+                prefix + "_kind": np.asarray([k for k, _ in srcs], np.int32),
+                prefix + "_idx": np.asarray([i for _, i in srcs], np.int32),
+            }
+
+        stages: List[_Stage] = []
+        for key in sorted(groups.keys(), key=lambda k: (k[0], str(k[1:]))):
+            batch = groups[key]
+            oc = batch[0].opcode
+            if oc in ("xor", "and", "and_not", "nor"):
+                stages.append(
+                    _Stage(
+                        oc,
+                        jnp.asarray([op.outs[0] for op in batch], jnp.int32),
+                        {
+                            "a": np.asarray([op.args[0] for op in batch], np.int32),
+                            "b": np.asarray([op.args[1] for op in batch], np.int32),
+                        },
+                    )
+                )
+            elif oc in ("ch", "maj"):
+                arrs = {}
+                for nm, i in (("a", 0), ("b", 1), ("c", 2)):
+                    sub = views_to_arrays([op.args[i] for op in batch])
+                    arrs.update({nm + "_" + k: v for k, v in sub.items()})
+                stages.append(
+                    _Stage(
+                        oc,
+                        jnp.asarray([op.outs[0] for op in batch], jnp.int32),
+                        arrs,
+                    )
+                )
+            elif oc == "addmany":
+                n_words, n_out = len(batch[0].args), len(batch[0].outs)
+                arrs = views_to_arrays([op.args for op in batch])
+                stages.append(
+                    _Stage(
+                        oc,
+                        jnp.asarray([op.outs for op in batch], jnp.int32),
+                        arrs,
+                        meta=(n_words, n_out),
+                    )
+                )
+            elif oc in ("fadd", "fmul"):
+                arrs = fop_arrays([op.args[0] for op in batch], "a")
+                arrs.update(fop_arrays([op.args[1] for op in batch], "b"))
+                arrs["out_slots"] = np.asarray([op.outs[0] for op in batch], np.int32)
+                stages.append(
+                    _Stage(
+                        oc,
+                        jnp.asarray(
+                            [field_rows[op.outs[0]] for op in batch], jnp.int32
+                        ),
+                        arrs,
+                    )
+                )
+            elif oc in ("finv", "copy"):
+                arrs = fop_arrays([op.args[0] for op in batch], "a")
+                arrs["out_slots"] = np.asarray([op.outs[0] for op in batch], np.int32)
+                stages.append(
+                    _Stage(
+                        oc,
+                        jnp.asarray(
+                            [field_rows[op.outs[0]] for op in batch], jnp.int32
+                        ),
+                        arrs,
+                    )
+                )
+            elif oc == "select":
+                arrs = views_to_arrays([[op.args[0]] for op in batch])
+                arrs = {"c_" + k: v[:, 0] for k, v in arrs.items()}
+                arrs.update(fop_arrays([op.args[1] for op in batch], "x"))
+                arrs.update(fop_arrays([op.args[2] for op in batch], "y"))
+                arrs["out_slots"] = np.asarray([op.outs[0] for op in batch], np.int32)
+                stages.append(
+                    _Stage(
+                        oc,
+                        jnp.asarray(
+                            [field_rows[op.outs[0]] for op in batch], jnp.int32
+                        ),
+                        arrs,
+                    )
+                )
+            elif oc == "pack":
+                arrs = views_to_arrays([op.args for op in batch])
+                arrs["out_slots"] = np.asarray([op.outs[0] for op in batch], np.int32)
+                stages.append(
+                    _Stage(
+                        oc,
+                        jnp.asarray(
+                            [field_rows[op.outs[0]] for op in batch], jnp.int32
+                        ),
+                        arrs,
+                        meta=len(batch[0].args),
+                    )
+                )
+            elif oc == "fbits_le":
+                arrs = fop_arrays([op.args[0] for op in batch], "a")
+                stages.append(
+                    _Stage(
+                        oc,
+                        jnp.asarray([op.outs for op in batch], jnp.int32),
+                        arrs,
+                        meta=len(batch[0].outs),
+                    )
+                )
+            elif oc in ("num_iszero", "num_inv_or_one"):
+                n_terms = len(batch[0].args)
+                idx = np.zeros((len(batch), n_terms), np.int32)
+                cf = np.zeros((len(batch), n_terms), np.uint32)
+                for w, op in enumerate(batch):
+                    for i, (coeff, s) in enumerate(op.args):
+                        assert coeff < (1 << 20), (
+                            "num_iszero supports small-coefficient LCs"
+                        )
+                        idx[w, i] = s
+                        cf[w, i] = coeff
+                arrs = {"idx": idx, "cf": cf}
+                if oc == "num_iszero":
+                    outs = jnp.asarray([op.outs[0] for op in batch], jnp.int32)
+                else:
+                    arrs["out_slots"] = np.asarray(
+                        [op.outs[0] for op in batch], np.int32
+                    )
+                    outs = jnp.asarray(
+                        [field_rows[op.outs[0]] for op in batch], jnp.int32
+                    )
+                stages.append(_Stage(oc, outs, arrs))
+            else:  # pragma: no cover
+                raise AssertionError(oc)
+
+        self.stages = stages
+        self.n_field_rows = len(field_rows)
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+    def build(self):
+        """Jitted evaluator: (free_bits[B, n_free], free_field[B, nf, 16]?)
+        → (vals u32[B, S], flimbs u32[B, F, 16])."""
+        be = self.backend
+        stages = self.stages
+        S = self.num_slots
+        F = max(self.n_field_rows, 1)
+        free_slots = jnp.asarray(np.asarray(self.free_slots, np.int32))
+        n_free_field = len(self.free_field_slots)
+
+        def lift(u32_vals):
+            z = jnp.zeros(u32_vals.shape + (16,), jnp.uint32)
+            z = z.at[..., 0].set(u32_vals & 0xFFFF)
+            return z.at[..., 1].set(u32_vals >> 16)
+
+        def evaluate(free_bits, free_field):
+            B = free_bits.shape[0]
+            vals = jnp.zeros((B, S), jnp.uint32)
+            vals = vals.at[:, 0].set(1)  # ONE
+            if self.free_slots:
+                vals = vals.at[:, free_slots].set(free_bits)
+            flimbs = jnp.zeros((B, F, 16), jnp.uint32)
+
+            def fget(st, prefix, vals, flimbs):
+                kind = st.arrs[prefix + "_kind"]
+                idx = st.arrs[prefix + "_idx"]
+                from_rows = flimbs[:, idx]  # [B, W, 16]
+                lifted = lift(vals[:, idx])
+                if n_free_field:
+                    from_free = free_field[:, idx]
+                else:
+                    from_free = lifted
+                k = kind[None, :, None]
+                return jnp.where(
+                    k == SRC_ROW,
+                    from_rows,
+                    jnp.where(k == SRC_FREE, from_free, lifted),
+                )
+
+            def bview(st, prefix, vals):
+                v = vals[:, st.arrs[prefix + "_idx"]] ^ st.arrs[prefix + "_neg"]
+                return jnp.where(
+                    st.arrs[prefix + "_isc"] == 1, st.arrs[prefix + "_cv"], v
+                )
+
+            for st in stages:
+                oc = st.opcode
+                if oc in ("xor", "and", "and_not", "nor"):
+                    a = vals[:, st.arrs["a"]]
+                    b = vals[:, st.arrs["b"]]
+                    r = (
+                        a ^ b
+                        if oc == "xor"
+                        else a & b
+                        if oc == "and"
+                        else a & (b ^ 1)
+                        if oc == "and_not"
+                        else (a ^ 1) & (b ^ 1)
+                    )
+                    vals = vals.at[:, st.outs].set(r)
+                elif oc in ("ch", "maj"):
+                    a, b, c = bview(st, "a", vals), bview(st, "b", vals), bview(st, "c", vals)
+                    r = (
+                        (a & b) ^ ((a ^ 1) & c)
+                        if oc == "ch"
+                        else (a & b) ^ (a & c) ^ (b & c)
+                    )
+                    vals = vals.at[:, st.outs].set(r)
+                elif oc == "addmany":
+                    n_words, n_out = st.meta
+                    bv = vals[:, st.arrs["idx"]] ^ st.arrs["neg"]  # [B,W,nw,32]
+                    bv = jnp.where(st.arrs["isc"] == 1, st.arrs["cv"], bv)
+                    w_lo = jnp.asarray(
+                        [1 << i for i in range(16)] + [0] * 16, jnp.uint32
+                    )
+                    w_hi = jnp.asarray(
+                        [0] * 16 + [1 << (i - 16) for i in range(16, 32)],
+                        jnp.uint32,
+                    )
+                    lo = jnp.sum(bv * w_lo, axis=(-2, -1), dtype=jnp.uint32)
+                    hi = jnp.sum(bv * w_hi, axis=(-2, -1), dtype=jnp.uint32)
+                    hi = hi + (lo >> 16)
+                    lo = lo & 0xFFFF
+                    outs = [
+                        ((lo >> k) & 1) if k < 16 else ((hi >> (k - 16)) & 1)
+                        for k in range(n_out)
+                    ]
+                    vals = vals.at[:, st.outs].set(jnp.stack(outs, axis=-1))
+                elif oc in ("fadd", "fmul"):
+                    a = fget(st, "a", vals, flimbs)
+                    b = fget(st, "b", vals, flimbs)
+                    r = be.add(a, b) if oc == "fadd" else be.mul(a, b)
+                    flimbs = flimbs.at[:, st.outs].set(r)
+                    vals = vals.at[:, st.arrs["out_slots"]].set(
+                        r[..., 0] | (r[..., 1] << 16)
+                    )
+                elif oc == "finv":
+                    a = fget(st, "a", vals, flimbs)
+                    r = be.inv(a)
+                    flimbs = flimbs.at[:, st.outs].set(r)
+                    vals = vals.at[:, st.arrs["out_slots"]].set(
+                        r[..., 0] | (r[..., 1] << 16)
+                    )
+                elif oc == "copy":
+                    r = fget(st, "a", vals, flimbs)
+                    flimbs = flimbs.at[:, st.outs].set(r)
+                    vals = vals.at[:, st.arrs["out_slots"]].set(
+                        r[..., 0] | (r[..., 1] << 16)
+                    )
+                elif oc == "select":
+                    cond = bview(st, "c", vals)  # [B, W]
+                    x = fget(st, "x", vals, flimbs)
+                    y = fget(st, "y", vals, flimbs)
+                    r = jnp.where(cond[..., None] == 1, x, y)
+                    flimbs = flimbs.at[:, st.outs].set(r)
+                    vals = vals.at[:, st.arrs["out_slots"]].set(
+                        r[..., 0] | (r[..., 1] << 16)
+                    )
+                elif oc == "pack":
+                    bv = vals[:, st.arrs["idx"]] ^ st.arrs["neg"]
+                    bv = jnp.where(st.arrs["isc"] == 1, st.arrs["cv"], bv)
+                    n_bits = st.meta
+                    limbs = []
+                    for j in range(16):
+                        lo_bit = 16 * j
+                        if lo_bit >= n_bits:
+                            limbs.append(jnp.zeros(bv.shape[:2], jnp.uint32))
+                            continue
+                        width = min(16, n_bits - lo_bit)
+                        w = jnp.asarray([1 << i for i in range(width)], jnp.uint32)
+                        limbs.append(
+                            jnp.sum(
+                                bv[..., lo_bit : lo_bit + width] * w,
+                                axis=-1,
+                                dtype=jnp.uint32,
+                            )
+                        )
+                    r = jnp.stack(limbs, axis=-1)
+                    flimbs = flimbs.at[:, st.outs].set(r)
+                    vals = vals.at[:, st.arrs["out_slots"]].set(
+                        r[..., 0] | (r[..., 1] << 16)
+                    )
+                elif oc == "fbits_le":
+                    a = fget(st, "a", vals, flimbs)  # [B, W, 16]
+                    n_out = st.meta
+                    bits = []
+                    for k in range(n_out):
+                        limb, off = divmod(k, 16)
+                        bits.append((a[..., limb] >> off) & 1)
+                    vals = vals.at[:, st.outs].set(jnp.stack(bits, axis=-1))
+                elif oc == "num_iszero":
+                    s = jnp.sum(
+                        vals[:, st.arrs["idx"]] * st.arrs["cf"],
+                        axis=-1,
+                        dtype=jnp.uint32,
+                    )
+                    vals = vals.at[:, st.outs].set((s == 0).astype(jnp.uint32))
+                elif oc == "num_inv_or_one":
+                    s = jnp.sum(
+                        vals[:, st.arrs["idx"]] * st.arrs["cf"],
+                        axis=-1,
+                        dtype=jnp.uint32,
+                    )
+                    inv = be.inv(lift(s))
+                    one = jnp.zeros_like(inv).at[..., 0].set(1)
+                    r = jnp.where((s == 0)[..., None], one, inv)
+                    flimbs = flimbs.at[:, st.outs].set(r)
+                    vals = vals.at[:, st.arrs["out_slots"]].set(
+                        r[..., 0] | (r[..., 1] << 16)
+                    )
+                else:  # pragma: no cover
+                    raise AssertionError(oc)
+            return vals, flimbs
+
+        return jax.jit(evaluate)
+
+    def run(self, free_bits, free_field=None):
+        """Evaluate for B instances. free_bits: uint32[B, n_free] values for
+        free slots (allocation order); free_field: uint32[B, n_free_field, 16]
+        limbs for the free slots listed in self.free_field_slots."""
+        if self._eval is None:
+            self._eval = self.build()
+        free_bits = jnp.asarray(free_bits, jnp.uint32)
+        if free_field is None:
+            free_field = jnp.zeros(
+                (free_bits.shape[0], max(len(self.free_field_slots), 1), 16),
+                jnp.uint32,
+            )
+        return self._eval(free_bits, free_field)
+
+    # ------------------------------------------------------------------
+    # output assembly
+    # ------------------------------------------------------------------
+    def z_template_limbs(self, vals, flimbs, free_field=None):
+        """Per-instance witness limbs [B, num_slots, 16]: u32-domain slots
+        from the bit buffer (limbs 0-1), field rows from the limb buffer,
+        free-field inputs passed through."""
+        B = vals.shape[0]
+        z = jnp.zeros((B, self.num_slots, 16), jnp.uint32)
+        z = z.at[:, :, 0].set(vals & 0xFFFF)
+        z = z.at[:, :, 1].set(vals >> 16)
+        if self.n_field_rows:
+            rows_slots = jnp.asarray(
+                sorted(self.field_rows, key=self.field_rows.get),
+                jnp.int32,
+            )
+            z = z.at[:, rows_slots].set(flimbs[:, : self.n_field_rows])
+        if free_field is not None and self.free_field_slots:
+            z = z.at[:, jnp.asarray(self.free_field_slots, jnp.int32)].set(
+                free_field[:, : len(self.free_field_slots)]
+            )
+        return z

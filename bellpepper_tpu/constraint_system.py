@@ -239,6 +239,13 @@ class ConstraintSystem:
     def get_root(self) -> "ConstraintSystem":
         return self
 
+    # -- witness-tape protocol (TPU-native; no reference counterpart) ----------
+    # Gadgets report the semantic operation behind each allocation so a
+    # tape-recording backend (compile.tape.TapeCS) can build a vectorized
+    # device witness program. Non-recording backends ignore these.
+    def record_witness_op(self, opcode: str, out_vars, operands) -> None:
+        pass
+
     # -- extensibility protocol (constraint_system.rs:131-148) ----------------
     @staticmethod
     def is_extensible() -> bool:
@@ -320,6 +327,9 @@ class Namespace(ConstraintSystem):
 
     def get_root(self) -> ConstraintSystem:
         return self._root
+
+    def record_witness_op(self, opcode, out_vars, operands) -> None:
+        self._root.record_witness_op(opcode, out_vars, operands)
 
     def is_witness_generator(self) -> bool:
         return self._root.is_witness_generator()

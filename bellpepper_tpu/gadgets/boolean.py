@@ -102,6 +102,7 @@ class AllocatedBit:
             lambda lc: lc + b.variable,
             lambda lc: lc + a.variable + b.variable - result_var,
         )
+        cs.record_witness_op("xor", [result_var], [a.variable, b.variable])
         return AllocatedBit(result_var, result_value)
 
     @staticmethod
@@ -122,6 +123,7 @@ class AllocatedBit:
             lambda lc: lc + b.variable,
             lambda lc: lc + result_var,
         )
+        cs.record_witness_op("and", [result_var], [a.variable, b.variable])
         return AllocatedBit(result_var, result_value)
 
     @staticmethod
@@ -144,6 +146,7 @@ class AllocatedBit:
             lambda lc: lc + ConstraintSystem.one() - b.variable,
             lambda lc: lc + result_var,
         )
+        cs.record_witness_op("and_not", [result_var], [a.variable, b.variable])
         return AllocatedBit(result_var, result_value)
 
     @staticmethod
@@ -166,6 +169,7 @@ class AllocatedBit:
             lambda lc: lc + ConstraintSystem.one() - b.variable,
             lambda lc: lc + result_var,
         )
+        cs.record_witness_op("nor", [result_var], [a.variable, b.variable])
         return AllocatedBit(result_var, result_value)
 
 
@@ -381,6 +385,7 @@ class Boolean:
             lambda _lc: a.lc(one, field.ONE, field),
             lambda lc: (lc + ch) - c.lc(one, field.ONE, field),
         )
+        cs.record_witness_op("ch", [ch], [a, b, c])
         return Boolean.from_bit(AllocatedBit(ch, ch_value))
 
     @staticmethod
@@ -427,6 +432,7 @@ class Boolean:
             lambda _lc: a.lc(one, field.ONE, field),
             lambda _lc: bc.lc(one, field.ONE, field) - maj,
         )
+        cs.record_witness_op("maj", [maj], [a, b, c])
         return Boolean.from_bit(AllocatedBit(maj, maj_value))
 
     # -- misc -----------------------------------------------------------------

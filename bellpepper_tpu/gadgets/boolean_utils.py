@@ -25,6 +25,7 @@ def alloc_num_is_zero(cs: ConstraintSystem, num: Num) -> Boolean:
     is_zero = (num_value == field.ZERO) if num_value is not None else None
 
     result = AllocatedBit.alloc(cs.namespace("x = 0"), is_zero)
+    cs.record_witness_op("num_iszero", [result.get_variable()], [num])
 
     # result * x = 0: at least one of them is zero.
     cs.enforce(
@@ -39,6 +40,7 @@ def alloc_num_is_zero(cs: ConstraintSystem, num: Num) -> Boolean:
         return inv if inv is not None else field.ONE
 
     q = cs.alloc("q", fq)
+    cs.record_witness_op("num_inv_or_one", [q], [num])
 
     # (x + result) * q = 1: x and result are not both zero.
     cs.enforce(

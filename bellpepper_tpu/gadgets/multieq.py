@@ -92,6 +92,9 @@ class MultiEq(ConstraintSystem):
     def register_namespace(self, prefix) -> None:
         self.cs.get_root().register_namespace(prefix)
 
+    def record_witness_op(self, opcode, out_vars, operands) -> None:
+        self.cs.get_root().record_witness_op(opcode, out_vars, operands)
+
     def get_root(self) -> "MultiEq":
         # addmany reaches enforce_equal through get_root() (uint32.rs:397).
         return self

@@ -36,6 +36,7 @@ def pack_into_inputs(cs: ConstraintSystem, bits: List[Boolean]) -> None:
             return v
 
         input_var = cs.alloc_input(f"input {idx}", f)
+        cs.record_witness_op("pack", [input_var], list(chunk))
         # num * 1 = input
         cs.enforce(
             f"packing constraint {idx}",
@@ -88,6 +89,9 @@ def pack_bits(cs: ConstraintSystem, bits: List[Boolean]) -> AllocatedNum:
         return v
 
     alloc_num = AllocatedNum.alloc(cs.namespace("input"), f)
+    cs.record_witness_op(
+        "pack", [alloc_num.get_variable()], list(bits[: field.CAPACITY])
+    )
     cs.enforce(
         "packing constraint",
         lambda _lc: num.lc(field.ONE),

@@ -89,6 +89,7 @@ class AllocatedNum:
     def inputize(self, cs: ConstraintSystem) -> None:
         """Mirror an aux variable as a public input (num.rs:104-121)."""
         input_var = cs.alloc_input("input variable", lambda: _require(self.value))
+        cs.record_witness_op("copy", [input_var], [self.variable])
         cs.enforce(
             "enforce input is correct",
             lambda lc: lc + input_var,
@@ -150,6 +151,12 @@ class AllocatedNum:
 
         assert not current_run  # p is prime → ends on a run of zeros
 
+        cs.record_witness_op(
+            "fbits_le",
+            [b.get_variable() for b in reversed(result)],
+            [self.variable],
+        )
+
         # Unpack: Σ 2^i bit_i − self = 0 over little-endian order.
         lc = LinearCombination.zero(field)
         coeff = field.ONE
@@ -165,6 +172,9 @@ class AllocatedNum:
         """Non-strict LE decomposition (num.rs:256-277)."""
         field = cs.field
         bits = field_into_allocated_bits_le(cs, self.value)
+        cs.record_witness_op(
+            "fbits_le", [b.get_variable() for b in bits], [self.variable]
+        )
         lc = LinearCombination.zero(field)
         coeff = field.ONE
         for bit in bits:
@@ -187,6 +197,7 @@ class AllocatedNum:
             else None
         )
         var = cs.alloc("sum num", f)
+        cs.record_witness_op("fadd", [var], [self.variable, other.variable])
         cs.enforce(
             "addition constraint",
             lambda lc: lc + self.variable + other.variable,
@@ -207,6 +218,7 @@ class AllocatedNum:
             else None
         )
         var = cs.alloc("product num", f)
+        cs.record_witness_op("fmul", [var], [self.variable, other.variable])
         cs.enforce(
             "multiplication constraint",
             lambda lc: lc + self.variable,
@@ -223,6 +235,7 @@ class AllocatedNum:
 
         value = field.square(self.value) if self.value is not None else None
         var = cs.alloc("squared num", f)
+        cs.record_witness_op("fmul", [var], [self.variable, self.variable])
         cs.enforce(
             "squaring constraint",
             lambda lc: lc + self.variable,
@@ -242,6 +255,7 @@ class AllocatedNum:
             return inv
 
         inv_var = cs.alloc("ephemeral inverse", f)
+        cs.record_witness_op("finv", [inv_var], [self.variable])
         cs.enforce(
             "nonzero assertion constraint",
             lambda lc: lc + self.variable,
@@ -264,6 +278,7 @@ class AllocatedNum:
             return _require(b.value) if _require(condition.get_value()) else _require(a.value)
 
         c = AllocatedNum.alloc(cs.namespace("conditional reversal result 1"), fc)
+        cs.record_witness_op("select", [c.variable], [condition, b.variable, a.variable])
         cs.enforce(
             "first conditional reversal",
             lambda lc: lc + a.variable - b.variable,
@@ -275,6 +290,7 @@ class AllocatedNum:
             return _require(a.value) if _require(condition.get_value()) else _require(b.value)
 
         d = AllocatedNum.alloc(cs.namespace("conditional reversal result 2"), fd)
+        cs.record_witness_op("select", [d.variable], [condition, a.variable, b.variable])
         cs.enforce(
             "second conditional reversal",
             lambda lc: lc + b.variable - a.variable,

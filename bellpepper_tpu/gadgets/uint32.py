@@ -201,6 +201,12 @@ class UInt32:
 
         root.enforce_equal(i, lc, result_lc)
 
+        cs.record_witness_op(
+            "addmany",
+            [b.bit.get_variable() for b in result_bits],
+            [op.bits for op in operands],
+        )
+
         del result_bits[32:]
         return UInt32(result_bits, modular_value)
 

@@ -1,0 +1,132 @@
+"""Multi-chip sharding tests on a virtual 8-device CPU mesh: sharded
+satisfiability and the full witness+check step must agree with the
+single-device path (the extend-associativity property, SURVEY §3.3)."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bellpepper_tpu import SCALAR, WitnessCS
+from bellpepper_tpu.backend.matvec import TemplatedSatisfier
+from bellpepper_tpu.backend.sharding import (
+    ShardedSatisfier,
+    default_mesh,
+    sharded_witness_and_check,
+)
+from bellpepper_tpu.compile.tape import TapeCS
+from bellpepper_tpu.compile.witness_program import WitnessProgram
+from bellpepper_tpu.gadgets.boolean import AllocatedBit, Boolean
+from bellpepper_tpu.gadgets.multieq import MultiEq
+from bellpepper_tpu.gadgets.uint32 import UInt32
+from bellpepper_tpu.r1cs import ShapeCS
+
+RNG = random.Random(0x5962BE3D)
+
+
+def uint32_circuit(cs, vals=None):
+    """Small uint32 template: xor + rotr + addmany (BASELINE config 2)."""
+    ops = [
+        UInt32.alloc(cs.namespace(f"op {i}"), None if vals is None else vals[i])
+        for i in range(3)
+    ]
+    with MultiEq(cs) as mcs:
+        x = ops[0].xor(mcs.namespace("xor"), ops[1].rotr(7))
+        UInt32.addmany(mcs.namespace("add"), [x, ops[2].shr(3), ops[0]])
+
+
+@pytest.fixture(scope="module")
+def compiled():
+    shape = ShapeCS()
+    uint32_circuit(shape)
+    template = shape.finish()
+    tape = TapeCS()
+    uint32_circuit(tape)
+    prog = WitnessProgram(tape)
+    return template, prog
+
+
+def make_witness_batch(prog, B):
+    vals = [[RNG.randrange(1 << 32) for _ in range(3)] for _ in range(B)]
+    free = np.array(
+        [[(v >> i) & 1 for v in inst for i in range(32)] for inst in vals],
+        dtype=np.uint32,
+    )
+    out_vals, flimbs = prog.run(free)
+    z3 = prog.z_template_limbs(out_vals, flimbs)
+    return vals, free, z3
+
+
+def test_sharded_matches_single(compiled):
+    template, prog = compiled
+    assert len(jax.devices()) == 8
+    B = 16
+    _, _, z3 = make_witness_batch(prog, B)
+
+    single = TemplatedSatisfier(template, B, use_pallas=False)
+    assert single.is_satisfied(z3)
+
+    mesh = default_mesh()
+    sharded = ShardedSatisfier(template, B, mesh, use_pallas=False)
+    zs = sharded.shard_z(z3)
+    assert sharded.is_satisfied(zs)
+
+    # Corrupt one instance on shard 5: both paths must reject, and the
+    # sharded path must localize to the same (instance, constraint).
+    z_bad = z3.at[11, 40, 0].set(z3[11, 40, 0] ^ 1)
+    assert not single.is_satisfied(z_bad)
+    zs_bad = sharded.shard_z(z_bad)
+    assert not sharded.is_satisfied(zs_bad)
+    s_which = sharded.which_is_unsatisfied(zs_bad)
+    assert s_which is not None and s_which.startswith("instance 11:")
+
+
+def test_sharded_witness_and_check_step(compiled):
+    template, prog = compiled
+    mesh = default_mesh()
+    B = 24
+    vals, free, z3_ref = make_witness_batch(prog, B)
+
+    step, in_sharding = sharded_witness_and_check(
+        prog, template, B, mesh, use_pallas=False
+    )
+    free_sharded = jax.device_put(jnp.asarray(free), in_sharding)
+    n_bad, z3 = step(free_sharded)
+    assert int(n_bad) == 0
+    # Sharded witness == single-device witness, bit-exact.
+    assert np.array_equal(np.asarray(z3), np.asarray(z3_ref))
+
+    # Host-oracle spot check of one instance.
+    w = WitnessCS()
+    uint32_circuit(w, vals[3])
+    expect = w.inputs_slice() + w.aux_slice()
+    got = [
+        int(sum(int(z3[3, s, l]) << (16 * l) for l in range(16)))
+        for s in range(prog.num_slots)
+    ]
+    assert got == expect
+
+    # A corrupted free input must be caught by the fused step.
+    free_bad = np.array(free)
+    free_bad[7, 5] ^= 1
+    # flipping an input bit changes the witness consistently -> still
+    # satisfiable! Instead corrupt the witness post-generation:
+    n_bad2, z3b = step(jax.device_put(jnp.asarray(free_bad), in_sharding))
+    assert int(n_bad2) == 0  # consistent witness stays satisfiable
+
+    sharded = ShardedSatisfier(template, B, mesh, use_pallas=False)
+    z_bad = z3.at[7, 50, 0].set(z3[7, 50, 0] ^ 1)
+    assert not sharded.is_satisfied(sharded.shard_z(z_bad))
+
+
+def test_scaling_efficiency_shape(compiled):
+    """Mesh subsets of different sizes produce identical verdicts."""
+    template, prog = compiled
+    B = 8
+    _, _, z3 = make_witness_batch(prog, B)
+    for n_dev in (1, 2, 4, 8):
+        mesh = default_mesh(n_dev)
+        s = ShardedSatisfier(template, B, mesh, use_pallas=False)
+        assert s.is_satisfied(s.shard_z(z3))
