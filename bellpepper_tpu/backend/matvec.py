@@ -171,10 +171,10 @@ class EllMatrix(NamedTuple):
             buckets.append((k, int(off[i]), j - i))
             i = j
         return EllMatrix(
-            cols=jnp.asarray(cols_p.astype(np.int32)),
-            coeff_ids=jnp.asarray(cids_p.astype(np.int32)),
+            cols=cols_p.astype(np.int32),
+            coeff_ids=cids_p.astype(np.int32),
             buckets=tuple(buckets),
-            inv_pos=jnp.asarray(inv_pos.astype(np.int32)),
+            inv_pos=inv_pos.astype(np.int32),
         )
 
 
@@ -328,6 +328,22 @@ class _PallasAdapter:
         b = self.ops.to_limb_major(b_bm, tp)
         return self.ops.mul(a, b)[:, :n].T
 
+    # limb-major variants (no boundary transposes)
+    def reduce_digits_lm(self, d_lm):
+        n = d_lm.shape[1]
+        tp = -(-n // self.tile) * self.tile
+        if tp != n:
+            d_lm = jnp.pad(d_lm, ((0, 0), (0, tp - n)))
+        return self.ops.reduce_digits(d_lm)[:, :n]
+
+    def mul_lm(self, a_lm, b_lm):
+        n = a_lm.shape[1]
+        tp = -(-n // self.tile) * self.tile
+        if tp != n:
+            a_lm = jnp.pad(a_lm, ((0, 0), (0, tp - n)))
+            b_lm = jnp.pad(b_lm, ((0, 0), (0, tp - n)))
+        return self.ops.mul(a_lm, b_lm)[:, :n]
+
 
 class _JnpAdapter:
     """Same facade over the pure-jnp backend (CPU / virtual meshes)."""
@@ -344,11 +360,81 @@ class _JnpAdapter:
     def mul(self, a_bm, b_bm):
         return self.be.mul(a_bm, b_bm)
 
+    def reduce_digits_lm(self, d_lm):
+        return self.be._reduce_wide8(d_lm.T).T
 
-def build_templated_check(template: R1CS, batch: int, use_pallas: bool):
+    def mul_lm(self, a_lm, b_lm):
+        return self.be.mul(a_lm.T, b_lm.T).T
+
+
+def _build_shared_ell(template: R1CS, zero_id: int):
+    """ELL layouts for A, B, C with ONE shared row permutation (rows sorted
+    by the (K_a, K_b, K_c) bucket-width triple). All three matvecs then
+    produce rows in the same order, so no per-row re-gather is needed
+    before the A·z ∘ B·z = C·z comparison."""
+    R = template.num_constraints
+    Ks = {}
+    per = {}
+    for name in ("a", "b", "c"):
+        m = getattr(template, name)
+        order = np.argsort(m.rows, kind="stable")
+        nnz = np.bincount(m.rows, minlength=R).astype(np.int64)
+        ptr = np.zeros(R + 1, np.int64)
+        np.cumsum(nnz, out=ptr[1:])
+        K = np.maximum(1, 2 ** np.ceil(np.log2(np.maximum(nnz, 1))).astype(np.int64))
+        Ks[name] = K
+        per[name] = (m.cols[order], m.coeff_ids[order], nnz, ptr)
+
+    perm = np.lexsort((np.arange(R), Ks["c"], Ks["b"], Ks["a"]))
+    # Segment the permuted rows into runs of equal (Ka, Kb, Kc).
+    key = np.stack([Ks[n][perm] for n in ("a", "b", "c")], axis=1)
+    change = np.any(key[1:] != key[:-1], axis=1)
+    seg_starts = np.concatenate([[0], np.nonzero(change)[0] + 1]) if R else np.array([0])
+
+    layouts = {}
+    for name in ("a", "b", "c"):
+        cols_s, cids_s, nnz, ptr = per[name]
+        K = Ks[name][perm]
+        nnz_p = nnz[perm]
+        off = np.zeros(R + 1, np.int64)
+        np.cumsum(K, out=off[1:])
+        total = int(off[-1])
+        slot_row = np.repeat(np.arange(R), K)
+        within = np.arange(total) - off[slot_row]
+        live = within < nnz_p[slot_row]
+        src = ptr[perm[slot_row]] + within
+        cols_p = np.where(live, cols_s[np.minimum(src, max(len(cols_s) - 1, 0))], 0)
+        cids_p = np.where(live, cids_s[np.minimum(src, max(len(cids_s) - 1, 0))], zero_id)
+        buckets = []
+        for si, s in enumerate(seg_starts):
+            e = seg_starts[si + 1] if si + 1 < len(seg_starts) else R
+            buckets.append((int(K[s]), int(off[s]), int(e - s)))
+        layouts[name] = EllMatrix(
+            cols=cols_p.astype(np.int32),
+            coeff_ids=cids_p.astype(np.int32),
+            buckets=tuple(buckets),
+            inv_pos=np.empty(0, np.int32),  # unused (shared perm)
+        )
+    return layouts, perm
+
+
+def build_templated_check(
+    template: R1CS,
+    batch: int,
+    use_pallas: bool,
+    witness_form: str = "limbs",
+):
     """Core of the templated satisfiability check (see TemplatedSatisfier).
-    Returns an UNJITTED function z3 [B, S_t, 16] → bool[B·Rt] violation
-    mask, suitable for wrapping in jit or shard_map."""
+
+    witness_form:
+      * "limbs" — z given as uint32[B, S_t, 16] limb planes (general);
+      * "bits"  — z given as uint32[B, S_t] with every value 0 or 1
+        (pure-bit circuits like the hash gadgets): entry products reduce
+        to coefficient-digit masking, skipping the modmul entirely, and
+        the whole pipeline stays limb-major with no transposes.
+
+    Returns an UNJITTED function z → bool[B·Rt] violation mask in the
+    ORIGINAL row order (instances major), suitable for jit or shard_map."""
     assert template.num_inputs == 1, "templates must be input-free"
     be = get_backend(template.field)
     impl = _PallasAdapter(template.field) if use_pallas else _JnpAdapter(template.field)
@@ -359,46 +445,75 @@ def build_templated_check(template: R1CS, batch: int, use_pallas: bool):
     except ValueError:
         zero_id = len(table)
         table.append(0)
-    coeff_limbs = jnp.asarray(be.to_limbs(table))
+    coeff_limbs_np = be.to_limbs(table)
+    coeff_limbs = jax.device_put(coeff_limbs_np)
+    # 8-bit digit planes of the coefficient table, limb-major [32, K].
+    lo = coeff_limbs_np & np.uint32(0xFF)
+    hi = (coeff_limbs_np >> 8) & np.uint32(0xFF)
+    coeff_digits_lm = np.stack([lo, hi], axis=-1).reshape(len(table), 32).T.copy()
 
-    mats = {
-        name: EllMatrix.build(
-            getattr(template, name).rows,
-            getattr(template, name).cols,
-            getattr(template, name).coeff_ids,
-            template.num_constraints,
-            zero_id,
-        )
-        for name in ("a", "b", "c")
-    }
+    mats, perm = _build_shared_ell(template, zero_id)
     Rt = template.num_constraints
+    inv_perm = jax.device_put(np.argsort(perm).astype(np.int32))
+    # Per-matrix device-resident index data + precomputed coefficient-digit
+    # planes (static gathers folded on host).
+    dev = {}
+    for name, m in mats.items():
+        dev[name] = {
+            "cols": jax.device_put(np.asarray(m.cols)),
+            "coeffs": jax.device_put(coeff_limbs_np[np.asarray(m.coeff_ids)]),
+            "cd": jax.device_put(coeff_digits_lm[:, np.asarray(m.coeff_ids)].copy()),
+        }
 
-    def matvec(mat: EllMatrix, z3):
-        # z3: [B, S_t, 16]. Shared-index gathers over the slot axis only —
-        # the per-index gather cost (~30 ns on v5e) amortizes over B.
+    def bucket_rowsums_lm(mat: EllMatrix, digits_lm):
+        """digits_lm: [32, B, total] → [32, B, Rt] in shared bucket order."""
+        parts = []
+        B = digits_lm.shape[1]
+        for k, start, n_rows in mat.buckets:
+            seg = digits_lm[:, :, start : start + n_rows * k]
+            parts.append(
+                jnp.sum(
+                    seg.reshape(32, B, n_rows, k), axis=3, dtype=jnp.uint32
+                )
+            )
+        return jnp.concatenate(parts, axis=2)
+
+    def matvec_bits(name: str, mat: EllMatrix, bits):
+        # bits: [B, S_t] with values in {0, 1}: product digits are just
+        # masked coefficient digits.
+        bv = jnp.take(bits, dev[name]["cols"], axis=1)  # [B, total]
+        cd = dev[name]["cd"]  # [32, total] (precomputed on host)
+        digits = cd[:, None, :] * bv[None]  # [32, B, total]
+        rs = bucket_rowsums_lm(mat, digits)  # [32, B, Rt]
+        B = bits.shape[0]
+        return impl.reduce_digits_lm(rs.reshape(32, B * Rt))  # [16, B·Rt]
+
+    def matvec_limbs(name: str, mat: EllMatrix, z3):
         B = z3.shape[0]
         total = mat.cols.shape[0]
-        zv = z3[:, mat.cols]  # [B, total, 16]
-        cv = jnp.broadcast_to(coeff_limbs[mat.coeff_ids][None], (B, total, 16))
+        zv = z3[:, dev[name]["cols"]]  # [B, total, 16]
+        cv = jnp.broadcast_to(dev[name]["coeffs"][None], (B, total, 16))
         digits = impl.mul_to_digits(
             zv.reshape(B * total, 16), cv.reshape(B * total, 16)
-        ).reshape(B, total, 32)
-        parts = []
-        for k, start, n_rows in mat.buckets:
-            seg = digits[:, start : start + n_rows * k]
-            parts.append(
-                jnp.sum(seg.reshape(B, n_rows, k, 32), axis=2, dtype=jnp.uint32)
-            )
-        rows_b = jnp.concatenate(parts, axis=1)  # [B, Rt, 32] bucket order
-        rowsum = rows_b[:, mat.inv_pos]  # [B, Rt, 32] template order
-        return impl.reduce_digits(rowsum.reshape(B * Rt, 32))  # [B·Rt, 16]
+        )  # [B·total, 32]
+        digits_lm = digits.T.reshape(32, B, total)
+        rs = bucket_rowsums_lm(mat, digits_lm)
+        return impl.reduce_digits_lm(rs.reshape(32, B * Rt))
 
-    def violations(z3):
-        az = matvec(mats["a"], z3)
-        bz = matvec(mats["b"], z3)
-        cz = matvec(mats["c"], z3)
-        lhs = impl.mul(az, bz)
-        return jnp.any(lhs != cz, axis=-1)  # bool[B·Rt]
+    matvec = matvec_bits if witness_form == "bits" else matvec_limbs
+
+    def violations(z):
+        B = z.shape[0]
+        az = matvec("a", mats["a"], z)  # [16, B·Rt] shared bucket order
+        bz = matvec("b", mats["b"], z)
+        cz = matvec("c", mats["c"], z)
+        lhs = impl.mul_lm(az, bz)
+        bad_bucket = jnp.any(lhs != cz, axis=0)  # bool[B·Rt] bucket order
+        # Restore original row order: bucket position j of instance i is
+        # original row perm[j] → scatter-free reorder via take with the
+        # static permutation (shared across instances).
+        bad2 = bad_bucket.reshape(B, Rt)
+        return jnp.take(bad2, inv_perm, axis=1).reshape(B * Rt)
 
     return violations
 
@@ -415,13 +530,22 @@ class TemplatedSatisfier:
     every instance is ONE (templates are input-free beyond ONE, like
     WitnessCS children before an extend, witness_cs.rs:159-161)."""
 
-    def __init__(self, template: R1CS, batch: int, use_pallas: bool | None = None):
+    def __init__(
+        self,
+        template: R1CS,
+        batch: int,
+        use_pallas: bool | None = None,
+        witness_form: str = "limbs",
+    ):
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.r1cs = template
         self.batch = batch
+        self.witness_form = witness_form
         self.backend = get_backend(template.field)
-        violations = build_templated_check(template, batch, use_pallas)
+        violations = build_templated_check(
+            template, batch, use_pallas, witness_form
+        )
 
         @jax.jit
         def check(z3):

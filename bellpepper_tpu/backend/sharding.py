@@ -55,6 +55,7 @@ class ShardedSatisfier:
         mesh: Mesh,
         use_pallas: bool | None = None,
         axis: str = "data",
+        witness_form: str = "limbs",
     ):
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
@@ -66,7 +67,9 @@ class ShardedSatisfier:
         self.axis = axis
         Rt = template.num_constraints
         local_b = batch // n_dev
-        violations = build_templated_check(template, local_b, use_pallas)
+        violations = build_templated_check(
+            template, local_b, use_pallas, witness_form
+        )
         self.num_constraints_total = batch * Rt
 
         from jax import shard_map
@@ -140,7 +143,10 @@ def sharded_witness_and_check(
     n_dev = mesh.devices.size
     assert batch % n_dev == 0
     local_b = batch // n_dev
-    violations = build_templated_check(template, local_b, use_pallas)
+    pure_bits = prog.is_pure_bits
+    violations = build_templated_check(
+        template, local_b, use_pallas, "bits" if pure_bits else "limbs"
+    )
     evaluator = prog.build()
 
     from jax import shard_map
@@ -155,10 +161,13 @@ def sharded_witness_and_check(
     )
     def step_local(free_bits_local, free_field_local):
         vals, flimbs = evaluator(free_bits_local, free_field_local)
-        z3 = prog.z_template_limbs(vals, flimbs, free_field_local)
-        bad = violations(z3)
+        if pure_bits:
+            z = vals  # bits fast path: no limb materialization
+        else:
+            z = prog.z_template_limbs(vals, flimbs, free_field_local)
+        bad = violations(z)
         n_bad = jax.lax.psum(jnp.sum(bad.astype(jnp.uint32)), axis)
-        return n_bad[None], z3
+        return n_bad[None], z
 
     @jax.jit
     def step(free_bits, free_field=None):

@@ -46,10 +46,12 @@ class _Stage:
     __slots__ = ("opcode", "outs", "arrs", "meta")
 
     def __init__(self, opcode, outs, arrs, meta=None):
+        # Arrays go to device via device_put (a pure transfer): embedding
+        # them as numpy literals bloats the HLO (slow remote compiles),
+        # while jnp.asarray dispatches a compiled convert per shape.
         self.opcode = opcode
-        self.outs = outs
-        self.arrs = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
-                     for k, v in arrs.items()}
+        self.outs = jax.device_put(np.asarray(outs))
+        self.arrs = {k: jax.device_put(np.asarray(v)) for k, v in arrs.items()}
         self.meta = meta
 
 
@@ -183,7 +185,7 @@ class WitnessProgram:
                 stages.append(
                     _Stage(
                         oc,
-                        jnp.asarray([op.outs[0] for op in batch], jnp.int32),
+                        np.asarray([op.outs[0] for op in batch], np.int32),
                         {
                             "a": np.asarray([op.args[0] for op in batch], np.int32),
                             "b": np.asarray([op.args[1] for op in batch], np.int32),
@@ -198,7 +200,7 @@ class WitnessProgram:
                 stages.append(
                     _Stage(
                         oc,
-                        jnp.asarray([op.outs[0] for op in batch], jnp.int32),
+                        np.asarray([op.outs[0] for op in batch], np.int32),
                         arrs,
                     )
                 )
@@ -208,7 +210,7 @@ class WitnessProgram:
                 stages.append(
                     _Stage(
                         oc,
-                        jnp.asarray([op.outs for op in batch], jnp.int32),
+                        np.asarray([op.outs for op in batch], np.int32),
                         arrs,
                         meta=(n_words, n_out),
                     )
@@ -220,8 +222,8 @@ class WitnessProgram:
                 stages.append(
                     _Stage(
                         oc,
-                        jnp.asarray(
-                            [field_rows[op.outs[0]] for op in batch], jnp.int32
+                        np.asarray(
+                            [field_rows[op.outs[0]] for op in batch], np.int32
                         ),
                         arrs,
                     )
@@ -232,8 +234,8 @@ class WitnessProgram:
                 stages.append(
                     _Stage(
                         oc,
-                        jnp.asarray(
-                            [field_rows[op.outs[0]] for op in batch], jnp.int32
+                        np.asarray(
+                            [field_rows[op.outs[0]] for op in batch], np.int32
                         ),
                         arrs,
                     )
@@ -247,8 +249,8 @@ class WitnessProgram:
                 stages.append(
                     _Stage(
                         oc,
-                        jnp.asarray(
-                            [field_rows[op.outs[0]] for op in batch], jnp.int32
+                        np.asarray(
+                            [field_rows[op.outs[0]] for op in batch], np.int32
                         ),
                         arrs,
                     )
@@ -259,8 +261,8 @@ class WitnessProgram:
                 stages.append(
                     _Stage(
                         oc,
-                        jnp.asarray(
-                            [field_rows[op.outs[0]] for op in batch], jnp.int32
+                        np.asarray(
+                            [field_rows[op.outs[0]] for op in batch], np.int32
                         ),
                         arrs,
                         meta=len(batch[0].args),
@@ -271,7 +273,7 @@ class WitnessProgram:
                 stages.append(
                     _Stage(
                         oc,
-                        jnp.asarray([op.outs for op in batch], jnp.int32),
+                        np.asarray([op.outs for op in batch], np.int32),
                         arrs,
                         meta=len(batch[0].outs),
                     )
@@ -289,13 +291,13 @@ class WitnessProgram:
                         cf[w, i] = coeff
                 arrs = {"idx": idx, "cf": cf}
                 if oc == "num_iszero":
-                    outs = jnp.asarray([op.outs[0] for op in batch], jnp.int32)
+                    outs = np.asarray([op.outs[0] for op in batch], np.int32)
                 else:
                     arrs["out_slots"] = np.asarray(
                         [op.outs[0] for op in batch], np.int32
                     )
-                    outs = jnp.asarray(
-                        [field_rows[op.outs[0]] for op in batch], jnp.int32
+                    outs = np.asarray(
+                        [field_rows[op.outs[0]] for op in batch], np.int32
                     )
                 stages.append(_Stage(oc, outs, arrs))
             else:  # pragma: no cover
@@ -314,7 +316,7 @@ class WitnessProgram:
         stages = self.stages
         S = self.num_slots
         F = max(self.n_field_rows, 1)
-        free_slots = jnp.asarray(np.asarray(self.free_slots, np.int32))
+        free_slots = np.asarray(self.free_slots, np.int32)
         n_free_field = len(self.free_field_slots)
 
         def lift(u32_vals):
@@ -482,6 +484,13 @@ class WitnessProgram:
             return vals, flimbs
 
         return jax.jit(evaluate)
+
+    @property
+    def is_pure_bits(self) -> bool:
+        """True when every witness slot holds a 0/1 value (hash/uint32
+        circuits): satisfiability can use the bits fast path and `vals`
+        can be consumed directly, skipping limb materialization."""
+        return self.n_field_rows == 0 and not self.free_field_slots
 
     def run(self, free_bits, free_field=None):
         """Evaluate for B instances. free_bits: uint32[B, n_free] values for

@@ -1,0 +1,279 @@
+"""Python bindings for the native (C++) synthesis core.
+
+`NativeBuilder` is the fast graph-builder: it synthesizes circuits from
+the bit-oriented gadget family (boolean algebra with constant folding,
+MultiEq-batched addmany, full sha256/blake2s compressions) at native
+speed and emits the same artifacts as the Python path — a compiled
+R1CS and a witness tape consumable by WitnessProgram. Parity with the
+Python gadgets is enforced in tests/test_native_synthesis.py.
+
+The shared object builds with:  make -C bellpepper_tpu/native
+(or is built on demand by `load_library`)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..compile.tape import V_CONST, V_VAR, Op
+from ..fields import SCALAR, PrimeField
+from ..r1cs import COOMatrix, R1CS
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "_synthesis.so")
+_SRC = os.path.join(_HERE, "synthesis.cpp")
+
+_OPCODE_NAMES = ["xor", "and", "and_not", "nor", "ch", "maj", "addmany"]
+
+_lib = None
+
+
+def load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
+            check=True,
+        )
+    lib = ctypes.CDLL(_SO)
+    lib.bp_builder_new.restype = ctypes.c_void_p
+    lib.bp_builder_new.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+    lib.bp_builder_free.argtypes = [ctypes.c_void_p]
+    for name, res, args in [
+        ("bp_alloc_bit", ctypes.c_int64, [ctypes.c_void_p]),
+        ("bp_const_view", ctypes.c_int64, [ctypes.c_int]),
+        ("bp_not", ctypes.c_int64, [ctypes.c_int64]),
+        ("bp_xor", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]),
+        ("bp_and", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]),
+        ("bp_ch", ctypes.c_int64, [ctypes.c_void_p] + [ctypes.c_int64] * 3),
+        ("bp_maj", ctypes.c_int64, [ctypes.c_void_p] + [ctypes.c_int64] * 3),
+        ("bp_multieq_begin", None, [ctypes.c_void_p]),
+        ("bp_multieq_end", None, [ctypes.c_void_p]),
+        ("bp_num_inputs", ctypes.c_int64, [ctypes.c_void_p]),
+        ("bp_num_aux", ctypes.c_int64, [ctypes.c_void_p]),
+        ("bp_num_constraints", ctypes.c_int64, [ctypes.c_void_p]),
+        ("bp_nnz", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int]),
+        ("bp_coeff_count", ctypes.c_int64, [ctypes.c_void_p]),
+        ("bp_tape_len", ctypes.c_int64, [ctypes.c_void_p]),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = res
+        fn.argtypes = args
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.bp_addmany.restype = None
+    lib.bp_addmany.argtypes = [ctypes.c_void_p, i64p, ctypes.c_int, i64p]
+    lib.bp_sha256_compression.restype = None
+    lib.bp_sha256_compression.argtypes = [ctypes.c_void_p, i64p, i64p, i64p]
+    lib.bp_sha256_iv.restype = None
+    lib.bp_sha256_iv.argtypes = [i64p]
+    lib.bp_blake2s_compression.restype = None
+    lib.bp_blake2s_compression.argtypes = [
+        ctypes.c_void_p,
+        i64p,
+        i64p,
+        ctypes.c_uint64,
+        ctypes.c_int,
+    ]
+    lib.bp_get_coo.restype = None
+    lib.bp_get_coo.argtypes = [ctypes.c_void_p, ctypes.c_int, i32p, i32p, i32p]
+    lib.bp_get_coeffs.restype = None
+    lib.bp_get_coeffs.argtypes = [ctypes.c_void_p, u64p]
+    lib.bp_get_tape.restype = None
+    lib.bp_get_tape.argtypes = [ctypes.c_void_p, i64p]
+    _lib = lib
+    return lib
+
+
+class _NativeTape:
+    """Duck-typed tape handing the native op stream to WitnessProgram."""
+
+    def __init__(self, field, num_inputs, num_aux, ops, free_slots):
+        self.field = field
+        self._snapshot = (num_inputs, num_aux, ops, free_slots)
+
+    def snapshot(self):
+        return self._snapshot
+
+
+class NativeBuilder:
+    """Native circuit builder. Views are opaque ints (Boolean encodings
+    shared with the C++ side); slot numbering matches the Python path."""
+
+    def __init__(self, field: PrimeField = SCALAR):
+        self.field = field
+        lib = load_library()
+        pw = (ctypes.c_uint64 * 4)(
+            *[(field.p >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4)]
+        )
+        self._lib = lib
+        self._b = lib.bp_builder_new(pw)
+        self._free_order: List[int] = []  # aux indices of free bits, in order
+
+    def __del__(self):
+        if getattr(self, "_b", None):
+            self._lib.bp_builder_free(self._b)
+            self._b = None
+
+    # -- gadget API ---------------------------------------------------------
+    def alloc_bit(self) -> int:
+        v = self._lib.bp_alloc_bit(self._b)
+        self._free_order.append(v >> 2)  # slotcode
+        return v
+
+    @staticmethod
+    def constant(b: bool) -> int:
+        return 2 if b else 0
+
+    def not_(self, v: int) -> int:
+        return self._lib.bp_not(v)
+
+    def xor(self, a: int, b: int) -> int:
+        return self._lib.bp_xor(self._b, a, b)
+
+    def and_(self, a: int, b: int) -> int:
+        return self._lib.bp_and(self._b, a, b)
+
+    def ch(self, a: int, b: int, c: int) -> int:
+        return self._lib.bp_ch(self._b, a, b, c)
+
+    def maj(self, a: int, b: int, c: int) -> int:
+        return self._lib.bp_maj(self._b, a, b, c)
+
+    def multieq_begin(self):
+        self._lib.bp_multieq_begin(self._b)
+
+    def multieq_end(self):
+        self._lib.bp_multieq_end(self._b)
+
+    def addmany(self, words: Sequence[Sequence[int]]) -> List[int]:
+        n = len(words)
+        flat = np.asarray([v for w in words for v in w], np.int64)
+        assert flat.shape[0] == 32 * n
+        out = np.empty(32, np.int64)
+        self._lib.bp_addmany(self._b, flat, n, out)
+        return list(out)
+
+    def alloc_u32(self, n_bits: int = 32) -> List[int]:
+        return [self.alloc_bit() for _ in range(n_bits)]
+
+    def sha256_iv(self) -> List[int]:
+        out = np.empty(256, np.int64)
+        self._lib.bp_sha256_iv(out)
+        return list(out)
+
+    def sha256_compression(self, in_bits: Sequence[int], state: Sequence[int]) -> List[int]:
+        """in_bits: 512 views (big-endian bit order, like the gadget);
+        state: 256 views = 8 words × 32 LSB-first bits."""
+        assert len(in_bits) == 512 and len(state) == 256
+        inp = np.asarray(in_bits, np.int64)
+        st = np.asarray(state, np.int64)
+        out = np.empty(256, np.int64)
+        self._lib.bp_sha256_compression(self._b, inp, st, out)
+        return list(out)
+
+    def blake2s_compression(self, h: Sequence[int], m: Sequence[int], t: int, f: bool) -> List[int]:
+        assert len(h) == 256 and len(m) == 512
+        hb = np.asarray(h, np.int64).copy()
+        mb = np.asarray(m, np.int64)
+        self._lib.bp_blake2s_compression(self._b, hb, mb, t, 1 if f else 0)
+        return list(hb)
+
+    # -- extraction -----------------------------------------------------------
+    def _slot(self, slotcode: int) -> int:
+        """slotcode (idx<<1 | is_aux) → global slot (inputs first)."""
+        idx = slotcode >> 1
+        if slotcode & 1:
+            return int(self._lib.bp_num_inputs(self._b)) + idx
+        return idx
+
+    def _view(self, v: int):
+        if (v & 1) == 0:
+            return (V_CONST, 1 if v & 2 else 0, 0)
+        return (V_VAR, self._slot(v >> 2), 1 if v & 2 else 0)
+
+    def finish(self):
+        """Extract (R1CS, tape) — identical artifacts to
+        ShapeCS.finish() + TapeCS for the same circuit."""
+        lib, b = self._lib, self._b
+        num_inputs = int(lib.bp_num_inputs(b))
+        num_aux = int(lib.bp_num_aux(b))
+        num_constraints = int(lib.bp_num_constraints(b))
+
+        mats = {}
+        for mi, name in enumerate("abc"):
+            nnz = int(lib.bp_nnz(b, mi))
+            rows = np.empty(nnz, np.int32)
+            cols = np.empty(nnz, np.int32)
+            cids = np.empty(nnz, np.int32)
+            if nnz:
+                lib.bp_get_coo(b, mi, rows, cols, cids)
+            mats[name] = COOMatrix(rows=rows, cols=cols, coeff_ids=cids)
+
+        n_coeff = int(lib.bp_coeff_count(b))
+        raw = np.empty(n_coeff * 4, np.uint64)
+        lib.bp_get_coeffs(b, raw)
+        coeff_table = [
+            int(raw[i * 4])
+            | (int(raw[i * 4 + 1]) << 64)
+            | (int(raw[i * 4 + 2]) << 128)
+            | (int(raw[i * 4 + 3]) << 192)
+            for i in range(n_coeff)
+        ]
+
+        r1cs = R1CS(
+            field=self.field,
+            num_inputs=num_inputs,
+            num_aux=num_aux,
+            num_constraints=num_constraints,
+            a=mats["a"],
+            b=mats["b"],
+            c=mats["c"],
+            coeff_table=coeff_table,
+            names=None,
+        )
+
+        # Decode the tape into WitnessProgram ops.
+        tl = int(lib.bp_tape_len(b))
+        flat = np.empty(max(tl, 1), np.int64)
+        if tl:
+            lib.bp_get_tape(b, flat)
+        ops: List[Op] = []
+        i = 0
+        while i < tl:
+            opcode = _OPCODE_NAMES[int(flat[i])]
+            n_outs = int(flat[i + 1])
+            i += 2
+            outs = [self._slot(int(s)) for s in flat[i : i + n_outs]]
+            i += n_outs
+            marker = int(flat[i])
+            i += 1
+            if opcode == "addmany":
+                n_words = -marker
+                args = []
+                for _w in range(n_words):
+                    args.append([self._view(int(v)) for v in flat[i : i + 32]])
+                    i += 32
+            elif opcode in ("ch", "maj"):
+                args = [self._view(int(v)) for v in flat[i : i + marker]]
+                i += marker
+            else:  # bit ops: slots
+                args = [self._slot(int(s)) for s in flat[i : i + marker]]
+                i += marker
+            ops.append(Op(opcode, outs, args))
+
+        produced = {o for op in ops for o in op.outs}
+        free = [
+            self._slot(sc)
+            for sc in self._free_order
+            if self._slot(sc) not in produced
+        ]
+        tape = _NativeTape(self.field, num_inputs, num_aux, ops, free)
+        return r1cs, tape

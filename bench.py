@@ -30,78 +30,60 @@ def main():
     import jax.numpy as jnp
 
     from bellpepper_tpu.backend.matvec import TemplatedSatisfier
-    from bellpepper_tpu.compile.tape import TapeCS
     from bellpepper_tpu.compile.witness_program import WitnessProgram
-    from bellpepper_tpu.gadgets.boolean import AllocatedBit, Boolean
-    from bellpepper_tpu.gadgets.sha256 import (
-        get_sha256_iv,
-        sha256_compression_function,
-    )
-    from bellpepper_tpu.r1cs import ShapeCS
+    from bellpepper_tpu.native import NativeBuilder
 
     rng = np.random.default_rng(0x5962BE3D)
 
-    def circuit(cs, bits=None):
-        input_bits = [
-            Boolean.from_bit(
-                AllocatedBit.alloc(
-                    cs.namespace(f"input bit {i}"),
-                    None if bits is None else bool(bits[i]),
-                )
-            )
-            for i in range(512)
-        ]
-        sha256_compression_function(cs.namespace("sha256"), input_bits, get_sha256_iv())
-
+    # Native (C++) synthesis of the template: one sha256 compression with
+    # 512 free input bits.
     t0 = time.time()
-    shape = ShapeCS()
-    circuit(shape)
-    template = shape.finish()
-    tape = TapeCS()
-    circuit(tape)
+    nb = NativeBuilder()
+    in_bits = [nb.alloc_bit() for _ in range(512)]
+    nb.sha256_compression(in_bits, nb.sha256_iv())
+    template, tape = nb.finish()
     prog = WitnessProgram(tape)
     t_synth = time.time() - t0
+    assert prog.is_pure_bits
 
     # Batch to ~2^20 constraints.
     B = max(1, (1 << 20) // template.num_constraints)
     total_constraints = B * template.num_constraints
 
-    sat = TemplatedSatisfier(template, B)
+    sat = TemplatedSatisfier(template, B, witness_form="bits")
 
     free = rng.integers(0, 2, size=(B, 512)).astype(np.uint32)
     free_d = jnp.asarray(free)
 
     # --- witness generation (device) ---
-    vals, flimbs = prog.run(free_d)  # compile + run
-    z3 = prog.z_template_limbs(vals, flimbs)
-    _ = int(jnp.sum(z3[0, 0, :1]))  # sync
+    vals, _f = prog.run(free_d)  # compile + run
+    _ = int(jnp.sum(vals[0, :4]))  # sync
 
     n_wit = 10
     t0 = time.time()
     acc = None
     for _ in range(n_wit):
-        vals, flimbs = prog.run(free_d)
-        z = prog.z_template_limbs(vals, flimbs)
-        acc = z if acc is None else acc
-    _ = int(jnp.sum(acc[0, 0, :1]))
+        vals, _f = prog.run(free_d)
+        acc = vals if acc is None else acc
+    _ = int(jnp.sum(acc[0, :4]))
     t_wit = (time.time() - t0) / n_wit
     witness_elems_per_s = (B * prog.num_slots) / t_wit
 
     # --- satisfiability (device) ---
-    ok_first = sat.is_satisfied(z3)
+    ok_first = sat.is_satisfied(vals)
     n = 20
     t0 = time.time()
     acc = None
     for _ in range(n):
-        ab, _first = sat._check(z3)
+        ab, _first = sat._check(vals)
         acc = ab if acc is None else (acc | ab)
     any_bad = bool(acc)
     t_check = (time.time() - t0) / n
     throughput = total_constraints / t_check
 
     # corruption probe: flip one witness bit → must detect
-    z_bad = z3.at[B // 2, 600, 0].set(z3[B // 2, 600, 0] ^ 1)
-    detected = not sat.is_satisfied(z_bad)
+    v_bad = vals.at[B // 2, 600].set(vals[B // 2, 600] ^ 1)
+    detected = not sat.is_satisfied(v_bad)
 
     result = {
         "metric": "sha256 constraint-evaluations/s/chip (2^20-constraint batch)",

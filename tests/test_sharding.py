@@ -93,20 +93,20 @@ def test_sharded_witness_and_check_step(compiled):
         prog, template, B, mesh, use_pallas=False
     )
     free_sharded = jax.device_put(jnp.asarray(free), in_sharding)
-    n_bad, z3 = step(free_sharded)
+    n_bad, z = step(free_sharded)
     assert int(n_bad) == 0
+    # Pure-bit circuit → step returns the bits form [B, S].
+    assert prog.is_pure_bits and z.shape == (B, prog.num_slots)
     # Sharded witness == single-device witness, bit-exact.
-    assert np.array_equal(np.asarray(z3), np.asarray(z3_ref))
+    assert np.array_equal(np.asarray(z), np.asarray(z3_ref[..., 0]))
 
     # Host-oracle spot check of one instance.
     w = WitnessCS()
     uint32_circuit(w, vals[3])
     expect = w.inputs_slice() + w.aux_slice()
-    got = [
-        int(sum(int(z3[3, s, l]) << (16 * l) for l in range(16)))
-        for s in range(prog.num_slots)
-    ]
+    got = [int(v) for v in np.asarray(z[3])]
     assert got == expect
+    z3 = z3_ref
 
     # A corrupted free input must be caught by the fused step.
     free_bad = np.array(free)
@@ -119,6 +119,26 @@ def test_sharded_witness_and_check_step(compiled):
     sharded = ShardedSatisfier(template, B, mesh, use_pallas=False)
     z_bad = z3.at[7, 50, 0].set(z3[7, 50, 0] ^ 1)
     assert not sharded.is_satisfied(sharded.shard_z(z_bad))
+
+
+def test_bits_fast_path_matches_limbs(compiled):
+    """witness_form='bits' must agree with the general limbs path,
+    including corruption localization."""
+    template, prog = compiled
+    B = 6
+    _, free, z3 = make_witness_batch(prog, B)
+    vals, _ = prog.run(free)
+
+    limbs_sat = TemplatedSatisfier(template, B, use_pallas=False, witness_form="limbs")
+    bits_sat = TemplatedSatisfier(template, B, use_pallas=False, witness_form="bits")
+    assert limbs_sat.is_satisfied(z3)
+    assert bits_sat.is_satisfied(vals)
+
+    bad_vals = vals.at[2, 37].set(vals[2, 37] ^ 1)
+    bad_z3 = z3.at[2, 37, 0].set(z3[2, 37, 0] ^ 1)
+    w_l = limbs_sat.which_is_unsatisfied(bad_z3)
+    w_b = bits_sat.which_is_unsatisfied(bad_vals)
+    assert w_l is not None and w_l == w_b
 
 
 def test_scaling_efficiency_shape(compiled):
