@@ -178,6 +178,134 @@ class EllMatrix(NamedTuple):
         )
 
 
+def build_row_sharded_parts(r1cs: R1CS, n_shards: int):
+    """Partition an R1CS along the CONSTRAINT axis into n_shards row
+    ranges with a SHARED ELL bucket signature, so a single SPMD program
+    (shard_map) can evaluate every shard.
+
+    Returns (parts, meta): parts is a dict of numpy arrays stacked on a
+    leading shard axis — cols/coeff_digits (per entry slot) and
+    row_origin (bucket position → local row id) — meta carries the
+    static bucket signature and padded sizes."""
+    R = r1cs.num_constraints
+    rs = -(-R // n_shards)  # rows per shard (last padded with empty rows)
+
+    table = list(r1cs.coeff_table)
+    try:
+        zero_id = table.index(0)
+    except ValueError:
+        zero_id = len(table)
+        table.append(0)
+    be = get_backend(r1cs.field)
+    coeff_limbs = be.to_limbs(table)
+    lo = coeff_limbs & np.uint32(0xFF)
+    hi = (coeff_limbs >> 8) & np.uint32(0xFF)
+    coeff_digits = np.stack([lo, hi], axis=-1).reshape(len(table), 32)  # [K,32]
+
+    # Per (shard, matrix): row nnz and sorted entries.
+    shards = []
+    for d in range(n_shards):
+        lo_r, hi_r = d * rs, min((d + 1) * rs, R)
+        shard = {}
+        for name in ("a", "b", "c"):
+            m = getattr(r1cs, name)
+            sel = (m.rows >= lo_r) & (m.rows < hi_r)
+            rows_l = m.rows[sel] - lo_r
+            order = np.argsort(rows_l, kind="stable")
+            nnz = np.bincount(rows_l, minlength=rs).astype(np.int64)
+            K = np.maximum(
+                1, 2 ** np.ceil(np.log2(np.maximum(nnz, 1))).astype(np.int64)
+            )
+            shard[name] = (
+                rows_l[order],
+                m.cols[sel][order],
+                m.coeff_ids[sel][order],
+                nnz,
+                K,
+            )
+        shards.append(shard)
+
+    # Shared signature: rows bucketed by the (Ka, Kb, Kc) triple; the
+    # per-triple row count is padded to the max across shards. Triples
+    # pack into one int64 key (K ≤ 2^20 always: nnz/row < 2^20) so bucket
+    # assignment is a vectorized searchsorted.
+    keys = []
+    for shard in shards:
+        ka, kb, kc = (shard[n][4] for n in ("a", "b", "c"))
+        keys.append((ka << 40) | (kb << 20) | kc)
+    uniq_keys = np.unique(np.concatenate(keys))
+    uniq = np.stack(
+        [(uniq_keys >> 40) & 0xFFFFF, (uniq_keys >> 20) & 0xFFFFF, uniq_keys & 0xFFFFF],
+        axis=1,
+    )
+    counts = np.zeros((n_shards, len(uniq)), np.int64)
+    assign = []
+    for d, k in enumerate(keys):
+        idx = np.searchsorted(uniq_keys, k)
+        assign.append(idx)
+        counts[d] = np.bincount(idx, minlength=len(uniq))
+    max_counts = counts.max(axis=0)  # rows per bucket, shared
+
+    rs_padded = int(max_counts.sum())
+    # Static bucket table per matrix: (K, start_slot, n_rows).
+    buckets = {n: [] for n in "abc"}
+    slot_off = {n: 0 for n in "abc"}
+    for bi, trip in enumerate(uniq):
+        for mi, n in enumerate("abc"):
+            buckets[n].append((int(trip[mi]), slot_off[n], int(max_counts[bi])))
+            slot_off[n] += int(trip[mi]) * int(max_counts[bi])
+    totals = {n: slot_off[n] for n in "abc"}
+
+    parts = {
+        n: {
+            "cols": np.zeros((n_shards, totals[n]), np.int32),
+            "cd": np.zeros((n_shards, totals[n], 32), np.uint32),
+            "cids": np.full((n_shards, totals[n]), zero_id, np.int32),
+        }
+        for n in "abc"
+    }
+    # bucket position -> local row id (for mapping violations back).
+    row_origin = np.full((n_shards, rs_padded), -1, np.int32)
+
+    row_base = np.concatenate([[0], np.cumsum(max_counts)[:-1]])
+    for d, shard in enumerate(shards):
+        idx = assign[d]
+        n_rows_local = len(idx)
+        # Order rows by (bucket, local id); position within bucket is the
+        # running index minus the bucket's start in that ordering.
+        order = np.lexsort((np.arange(n_rows_local), idx))
+        cnt_d = np.bincount(idx, minlength=len(uniq))
+        starts_sorted = np.concatenate([[0], np.cumsum(cnt_d)[:-1]])
+        pos_sorted = np.arange(n_rows_local) - np.repeat(starts_sorted, cnt_d)
+        pos_in_bucket = np.empty(n_rows_local, np.int64)
+        pos_in_bucket[order] = pos_sorted
+        row_origin[d, row_base[idx[order]] + pos_sorted] = order
+        for mi, n in enumerate("abc"):
+            rows_s, cols_s, cids_s, nnz, K = shard[n]
+            if len(rows_s) == 0:
+                continue
+            ptr = np.zeros(rs + 1, np.int64)
+            np.cumsum(nnz, out=ptr[1:])
+            bucket_k = np.array([b[0] for b in buckets[n]], np.int64)
+            bucket_start = np.array([b[1] for b in buckets[n]], np.int64)
+            # Per-row start slot, then per-entry target slot.
+            row_slot0 = bucket_start[idx] + pos_in_bucket * bucket_k[idx]
+            within = np.arange(len(rows_s)) - ptr[rows_s]
+            target = row_slot0[rows_s] + within
+            parts[n]["cols"][d, target] = cols_s
+            parts[n]["cd"][d, target] = coeff_digits[cids_s]
+            parts[n]["cids"][d, target] = cids_s
+    meta = {
+        "buckets": {n: tuple(buckets[n]) for n in "abc"},
+        "rows_per_shard": rs,
+        "rows_padded": rs_padded,
+        "row_origin": row_origin,
+        "coeff_table": table,
+        "zero_id": zero_id,
+    }
+    return parts, meta
+
+
 class Satisfier:
     """Compiled satisfiability checker for one R1CS.
 

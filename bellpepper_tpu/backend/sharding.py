@@ -79,6 +79,7 @@ class ShardedSatisfier:
             mesh=mesh,
             in_specs=(P(axis),),
             out_specs=(P(), P()),
+            check_vma=False,  # pallas_call outputs carry no vma info
         )
         def check_local(z3_local):
             bad = violations(z3_local)  # bool[local_b·Rt]
@@ -158,6 +159,7 @@ def sharded_witness_and_check(
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=(P(), P(axis)),
+        check_vma=False,  # pallas_call outputs carry no vma info
     )
     def step_local(free_bits_local, free_field_local):
         vals, flimbs = evaluator(free_bits_local, free_field_local)
@@ -177,3 +179,125 @@ def sharded_witness_and_check(
         return n_bad[0], z3
 
     return step, NamedSharding(mesh, P(axis))
+
+
+class RowShardedSatisfier:
+    """Constraint-axis sharding for ONE huge (non-templated) R1CS —
+    BASELINE config 5. Rows are partitioned into contiguous ranges, one
+    per device, with a shared ELL bucket signature so a single SPMD
+    program (shard_map) evaluates every shard; z is replicated; the
+    verdict reduces with psum over ICI.
+
+    witness_form "bits" (all witness values 0/1) masks coefficient
+    digits directly; "limbs" runs the full modmul per entry."""
+
+    def __init__(
+        self,
+        r1cs: R1CS,
+        mesh: Mesh,
+        use_pallas: bool | None = None,
+        axis: str = "data",
+        witness_form: str = "limbs",
+    ):
+        from .matvec import _JnpAdapter, _PallasAdapter, build_row_sharded_parts
+        from ..backend.field_jnp import get_backend
+
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        n_dev = mesh.devices.size
+        self.r1cs = r1cs
+        self.mesh = mesh
+        be = get_backend(r1cs.field)
+        impl = (
+            _PallasAdapter(r1cs.field) if use_pallas else _JnpAdapter(r1cs.field)
+        )
+        parts, meta = build_row_sharded_parts(r1cs, n_dev)
+        self._meta = meta
+        rs_padded = meta["rows_padded"]
+        buckets = meta["buckets"]
+        coeff_limbs = jax.device_put(be.to_limbs(meta["coeff_table"]))
+
+        shard_spec = NamedSharding(mesh, P(axis))
+        dev = {}
+        for name in ("a", "b", "c"):
+            dev[name] = {
+                "cols": jax.device_put(parts[name]["cols"], shard_spec),
+                "cd": jax.device_put(parts[name]["cd"], shard_spec),
+                "cids": jax.device_put(parts[name]["cids"], shard_spec),
+            }
+        row_origin = jax.device_put(meta["row_origin"], shard_spec)
+
+        from jax import shard_map
+
+        def matvec_local(name, z, local):
+            cols = local[name]["cols"][0]  # [total]
+            if witness_form == "bits":
+                bv = jnp.take(z, cols)  # [total] u32 bits
+                digits_lm = local[name]["cd"][0].T * bv[None]  # [32,total]
+            else:
+                zv = z[cols]  # [total, 16]
+                cv = coeff_limbs[local[name]["cids"][0]]
+                digits_lm = impl.mul_to_digits(zv, cv).T  # [32,total]
+            parts_out = []
+            for k, start, n_rows in buckets[name]:
+                seg = digits_lm[:, start : start + n_rows * k]
+                parts_out.append(
+                    jnp.sum(seg.reshape(32, n_rows, k), axis=2, dtype=jnp.uint32)
+                )
+            rs = jnp.concatenate(parts_out, axis=1)  # [32, rs_padded]
+            return impl.reduce_digits_lm(rs)  # [16, rs_padded]
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(None), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,  # pallas_call outputs carry no vma info
+        )
+        def check_local(z, a_local, b_local, c_local, origin_local):
+            local = {"a": a_local, "b": b_local, "c": c_local}
+            az = matvec_local("a", z, local)
+            bz = matvec_local("b", z, local)
+            cz = matvec_local("c", z, local)
+            lhs = impl.mul_lm(az, bz)
+            bad = jnp.any(lhs != cz, axis=0)  # [rs_padded] bucket order
+            # padded rows have origin -1 and all-zero rows (0·0=0): never bad
+            n_bad = jax.lax.psum(jnp.sum(bad.astype(jnp.uint32)), axis)
+            shard = jax.lax.axis_index(axis).astype(jnp.uint32)
+            orig = origin_local[0].astype(jnp.uint32) + shard * jnp.uint32(
+                meta["rows_per_shard"]
+            )
+            sentinel = jnp.uint32(0xFFFFFFFF)
+            first = jnp.min(jnp.where(bad, orig, sentinel))
+            first = jax.lax.pmin(first, axis)
+            return n_bad[None], first[None]
+
+        @jax.jit
+        def check(z):
+            na, first = check_local(
+                z,
+                {"cols": dev["a"]["cols"], "cd": dev["a"]["cd"], "cids": dev["a"]["cids"]},
+                {"cols": dev["b"]["cols"], "cd": dev["b"]["cd"], "cids": dev["b"]["cids"]},
+                {"cols": dev["c"]["cols"], "cd": dev["c"]["cd"], "cids": dev["c"]["cids"]},
+                row_origin,
+            )
+            return na[0], first[0]
+
+        self._check = check
+        self.backend = be
+
+    def z_from_assignments(self, inputs, aux):
+        return jnp.asarray(self.backend.to_limbs(list(inputs) + list(aux)))
+
+    def is_satisfied(self, z) -> bool:
+        n_bad, _ = self._check(z)
+        return int(n_bad) == 0
+
+    def which_is_unsatisfied(self, z) -> Optional[str]:
+        n_bad, first = self._check(z)
+        if int(n_bad) == 0:
+            return None
+        row = int(first)
+        if self.r1cs.names is not None:
+            return self.r1cs.names[row]
+        return f"constraint #{row}"
