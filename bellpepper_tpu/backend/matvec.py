@@ -536,7 +536,15 @@ def _build_shared_ell(template: R1CS, zero_id: int):
         buckets = []
         for si, s in enumerate(seg_starts):
             e = seg_starts[si + 1] if si + 1 < len(seg_starts) else R
-            buckets.append((int(K[s]), int(off[s]), int(e - s)))
+            k = int(K[s])
+            # Merge with the previous bucket when the width matches — the
+            # shared (Ka,Kb,Kc) segmentation splits more finely than any
+            # single matrix needs, and every slice costs a copy on TPU.
+            if buckets and buckets[-1][0] == k:
+                pk, poff, pn = buckets[-1]
+                buckets[-1] = (pk, poff, pn + int(e - s))
+            else:
+                buckets.append((k, int(off[s]), int(e - s)))
         layouts[name] = EllMatrix(
             cols=cols_p.astype(np.int32),
             coeff_ids=cids_p.astype(np.int32),
@@ -593,28 +601,36 @@ def build_templated_check(
             "cd": jax.device_put(coeff_digits_lm[:, np.asarray(m.coeff_ids)].copy()),
         }
 
+    def bucket_rowsums_bm(mat: EllMatrix, digits, B):
+        """Batch-minor bucket sums: digits [32, total, B] → [32, Rt, B]."""
+        parts = []
+        for k, start, n_rows in mat.buckets:
+            seg = digits[:, start : start + n_rows * k]
+            parts.append(
+                jnp.sum(seg.reshape(32, n_rows, k, B), axis=2, dtype=jnp.uint32)
+            )
+        return jnp.concatenate(parts, axis=1)
+
+    def matvec_bits_raw(name: str, mat: EllMatrix, bits_T):
+        # bits_T: [S_t, B] batch-minor, values in {0, 1}. Gathers fetch
+        # contiguous B-wide rows with TEMPLATE-level (shared) indices —
+        # the per-index gather cost does not multiply by the batch.
+        # Product digits are masked coefficient digits (no modmul).
+        B = bits_T.shape[1]
+        bv = bits_T[dev[name]["cols"]]  # [total, B] row gather
+        cd = dev[name]["cd"]  # [32, total] (precomputed on host)
+        digits = cd[:, :, None] * bv[None]  # [32, total, B] (fused w/ sums)
+        return bucket_rowsums_bm(mat, digits, B)  # [32, Rt, B] (unreduced)
+
     def bucket_rowsums_lm(mat: EllMatrix, digits_lm):
-        """digits_lm: [32, B, total] → [32, B, Rt] in shared bucket order."""
         parts = []
         B = digits_lm.shape[1]
         for k, start, n_rows in mat.buckets:
             seg = digits_lm[:, :, start : start + n_rows * k]
             parts.append(
-                jnp.sum(
-                    seg.reshape(32, B, n_rows, k), axis=3, dtype=jnp.uint32
-                )
+                jnp.sum(seg.reshape(32, B, n_rows, k), axis=3, dtype=jnp.uint32)
             )
         return jnp.concatenate(parts, axis=2)
-
-    def matvec_bits(name: str, mat: EllMatrix, bits):
-        # bits: [B, S_t] with values in {0, 1}: product digits are just
-        # masked coefficient digits.
-        bv = jnp.take(bits, dev[name]["cols"], axis=1)  # [B, total]
-        cd = dev[name]["cd"]  # [32, total] (precomputed on host)
-        digits = cd[:, None, :] * bv[None]  # [32, B, total]
-        rs = bucket_rowsums_lm(mat, digits)  # [32, B, Rt]
-        B = bits.shape[0]
-        return impl.reduce_digits_lm(rs.reshape(32, B * Rt))  # [16, B·Rt]
 
     def matvec_limbs(name: str, mat: EllMatrix, z3):
         B = z3.shape[0]
@@ -628,22 +644,31 @@ def build_templated_check(
         rs = bucket_rowsums_lm(mat, digits_lm)
         return impl.reduce_digits_lm(rs.reshape(32, B * Rt))
 
-    matvec = matvec_bits if witness_form == "bits" else matvec_limbs
-
-    def violations(z):
-        B = z.shape[0]
-        az = matvec("a", mats["a"], z)  # [16, B·Rt] shared bucket order
-        bz = matvec("b", mats["b"], z)
-        cz = matvec("c", mats["c"], z)
+    def violations_bits(vals):
+        B = vals.shape[0]
+        bits_T = vals.T  # [S_t, B] — one relayout, then everything is
+        # batch-minor with shared-index row gathers.
+        az, bz, cz = (
+            impl.reduce_digits_lm(
+                matvec_bits_raw(n, mats[n], bits_T).reshape(32, Rt * B)
+            )
+            for n in ("a", "b", "c")
+        )
         lhs = impl.mul_lm(az, bz)
-        bad_bucket = jnp.any(lhs != cz, axis=0)  # bool[B·Rt] bucket order
-        # Restore original row order: bucket position j of instance i is
-        # original row perm[j] → scatter-free reorder via take with the
-        # static permutation (shared across instances).
-        bad2 = bad_bucket.reshape(B, Rt)
+        bad = jnp.any(lhs != cz, axis=0).reshape(Rt, B)  # bucket order
+        bad = jnp.take(bad, inv_perm, axis=0)  # original row order
+        return bad.T.reshape(B * Rt)  # instance-major
+
+    def violations_limbs(z3):
+        B = z3.shape[0]
+        az = matvec_limbs("a", mats["a"], z3)  # [16, B·Rt] bucket order
+        bz = matvec_limbs("b", mats["b"], z3)
+        cz = matvec_limbs("c", mats["c"], z3)
+        lhs = impl.mul_lm(az, bz)
+        bad2 = jnp.any(lhs != cz, axis=0).reshape(B, Rt)
         return jnp.take(bad2, inv_perm, axis=1).reshape(B * Rt)
 
-    return violations
+    return violations_bits if witness_form == "bits" else violations_limbs
 
 
 class TemplatedSatisfier:
