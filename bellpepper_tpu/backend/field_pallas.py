@@ -259,3 +259,109 @@ def get_pallas_ops(field: PrimeField, interpret: bool = False) -> PallasFieldOps
         ops = PallasFieldOps(field, interpret=interpret)
         _OPS[key] = ops
     return ops
+
+
+# ---------------------------------------------------------------------------
+# Fused bits-matvec kernel: mask + bucket row-sum + digit reduce, one pass.
+#
+# For a bit-valued witness, the ELL bucket row-sum
+#     acc[d, r, b] = Σ_k cd[d, r, k] · bv[r, k, b]
+# is, per row, a [32, K] × [K, B] matmul with all values exact in fp32
+# (digits ≤ 255, row sums ≤ 255·K < 2^24) — so it runs on the MXU, and the
+# canonical digit reduction happens in-kernel on the [TR, 128] accumulator
+# tiles. HBM traffic collapses to: read bv rows + cd once, write [16, ...]
+# canonical limbs once.
+# ---------------------------------------------------------------------------
+def make_bits_matvec_bucket(field: PrimeField, K: int, n_rows: int, B: int,
+                            interpret: bool = False):
+    """Build the fused kernel for one bucket: inputs
+    bv [n_rows, K, B] uint32 bits and cd [32, n_rows, K] uint32 digits,
+    output [16, n_rows, B] canonical limbs. B must be a multiple of 128."""
+    assert B % LANES == 0
+    consts = _Consts(field)
+    # Row-tile: largest power of two dividing n_rows, capped so the
+    # bv block (TR·KC·512B) and accumulator (TR·16KB) stay VMEM-friendly;
+    # K==1 buckets (no accumulation) take bigger tiles.
+    import math
+
+    cap = 256 if K == 1 else max(1, 512 // min(K, 512)) * 8
+    cap = min(cap, 256)
+    TR = math.gcd(n_rows, cap if (cap & (cap - 1)) == 0 else 8)
+    TR = max(TR, math.gcd(n_rows, 8), 1)
+    KC = min(K, 512)
+    while K % KC != 0:
+        KC //= 2
+    ksteps = K // KC
+    nb = B // LANES
+    grid = (nb, n_rows // TR, ksteps)
+
+    def kernel(bv_ref, cd_ref, o_ref, acc_ref):
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        bv = bv_ref[...]  # [TR, KC, 128] uint32 (0/1)
+        cd = cd_ref[...]  # [32, TR, KC] uint32 (< 256)
+        if K == 1:
+            # No accumulation: plain broadcast mask on the VPU.
+            acc_ref[...] = (cd[:, :, 0][:, :, None] * bv[:, 0, :][None]).astype(
+                jnp.uint32
+            )
+        else:
+            # Mosaic lacks direct uint32↔float32 casts; route via int32
+            # (all values < 2^24, so every cast is exact).
+            bv_f = bv.astype(jnp.int32).astype(jnp.float32)
+            cd_f = cd.astype(jnp.int32).astype(jnp.float32)
+            add = jnp.stack(
+                [
+                    jnp.dot(
+                        cd_f[:, t, :],
+                        bv_f[t],
+                        preferred_element_type=jnp.float32,
+                    )
+                    for t in range(TR)
+                ],
+                axis=1,
+            )  # [32, TR, 128] exact integers < 2^24
+            acc_ref[...] = acc_ref[...] + add.astype(jnp.int32).astype(jnp.uint32)
+
+        @pl.when(j == ksteps - 1)
+        def _():
+            acc = acc_ref[...]
+            rows = [acc[d] for d in range(L8)]  # each [TR, 128]
+            out = _reduce_rows(rows, consts)
+            o_ref[...] = jnp.stack(out)
+
+    @jax.jit
+    def run(bv, cd):
+        assert bv.shape == (n_rows, K, B)
+        assert cd.shape == (L8, n_rows, K)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (TR, KC, LANES),
+                    lambda ib, ir, jk: (ir, jk, ib),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (L8, TR, KC),
+                    lambda ib, ir, jk: (0, ir, jk),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (L16, TR, LANES),
+                lambda ib, ir, jk: (0, ir, ib),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((L16, n_rows, B), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((L8, TR, LANES), jnp.uint32)],
+            interpret=interpret,
+        )(bv, cd)
+        return out
+
+    return run

@@ -497,9 +497,12 @@ class _JnpAdapter:
 
 def _build_shared_ell(template: R1CS, zero_id: int):
     """ELL layouts for A, B, C with ONE shared row permutation (rows sorted
-    by the (K_a, K_b, K_c) bucket-width triple). All three matvecs then
-    produce rows in the same order, so no per-row re-gather is needed
-    before the A·z ∘ B·z = C·z comparison."""
+    by the (K_a, K_b, K_c) bucket-width triple), every segment padded to a
+    multiple of 8 rows (Mosaic block alignment for the fused kernels).
+    All three matvecs produce rows in the same padded bucket order.
+
+    Returns (layouts, pos_of_row, padded_rows): pos_of_row[r] is the
+    padded-bucket-order position of original row r."""
     R = template.num_constraints
     Ks = {}
     per = {}
@@ -514,44 +517,66 @@ def _build_shared_ell(template: R1CS, zero_id: int):
         per[name] = (m.cols[order], m.coeff_ids[order], nnz, ptr)
 
     perm = np.lexsort((np.arange(R), Ks["c"], Ks["b"], Ks["a"]))
-    # Segment the permuted rows into runs of equal (Ka, Kb, Kc).
     key = np.stack([Ks[n][perm] for n in ("a", "b", "c")], axis=1)
     change = np.any(key[1:] != key[:-1], axis=1)
-    seg_starts = np.concatenate([[0], np.nonzero(change)[0] + 1]) if R else np.array([0])
+    seg_starts = (
+        np.concatenate([[0], np.nonzero(change)[0] + 1]) if R else np.array([0])
+    )
+    seg_ends = np.concatenate([seg_starts[1:], [R]])
+    seg_counts = seg_ends - seg_starts
+    seg_padded = -(-seg_counts // 8) * 8
+    seg_base = np.zeros(len(seg_starts) + 1, np.int64)
+    np.cumsum(seg_padded, out=seg_base[1:])
+    padded_rows = int(seg_base[-1])
+
+    # Padded position of each original row.
+    seg_of = np.repeat(np.arange(len(seg_starts)), seg_counts)
+    off_in_seg = np.arange(R) - seg_starts[seg_of]
+    pos_perm = seg_base[seg_of] + off_in_seg  # position of perm[j]
+    pos_of_row = np.empty(R, np.int64)
+    pos_of_row[perm] = pos_perm
 
     layouts = {}
     for name in ("a", "b", "c"):
         cols_s, cids_s, nnz, ptr = per[name]
-        K = Ks[name][perm]
+        Kp = Ks[name][perm]
         nnz_p = nnz[perm]
-        off = np.zeros(R + 1, np.int64)
-        np.cumsum(K, out=off[1:])
-        total = int(off[-1])
-        slot_row = np.repeat(np.arange(R), K)
-        within = np.arange(total) - off[slot_row]
-        live = within < nnz_p[slot_row]
-        src = ptr[perm[slot_row]] + within
-        cols_p = np.where(live, cols_s[np.minimum(src, max(len(cols_s) - 1, 0))], 0)
-        cids_p = np.where(live, cids_s[np.minimum(src, max(len(cids_s) - 1, 0))], zero_id)
+        seg_K = Kp[seg_starts] if R else np.array([], np.int64)
+        # Slot base per segment (padded rows included).
+        seg_slots = seg_padded * seg_K
+        slot_base = np.zeros(len(seg_starts) + 1, np.int64)
+        np.cumsum(seg_slots, out=slot_base[1:])
+        total = int(slot_base[-1])
+        cols_arr = np.zeros(total, np.int32)
+        cids_arr = np.full(total, zero_id, np.int32)
+        # Per original (permuted) row: its slot range.
+        row_slot0 = slot_base[seg_of] + off_in_seg * seg_K[seg_of]
+        # Per entry placement.
+        if len(cols_s):
+            e_rows = np.repeat(np.arange(R), nnz_p)  # perm-order row per entry
+            within = np.arange(len(cols_s)) - np.repeat(
+                np.cumsum(np.concatenate([[0], nnz_p[:-1]])), nnz_p
+            )
+            src = ptr[perm[e_rows]] + within
+            target = row_slot0[e_rows] + within
+            cols_arr[target] = cols_s[src]
+            cids_arr[target] = cids_s[src]
         buckets = []
-        for si, s in enumerate(seg_starts):
-            e = seg_starts[si + 1] if si + 1 < len(seg_starts) else R
-            k = int(K[s])
-            # Merge with the previous bucket when the width matches — the
-            # shared (Ka,Kb,Kc) segmentation splits more finely than any
-            # single matrix needs, and every slice costs a copy on TPU.
+        for si in range(len(seg_starts)):
+            k = int(seg_K[si])
+            n_rows = int(seg_padded[si])
             if buckets and buckets[-1][0] == k:
                 pk, poff, pn = buckets[-1]
-                buckets[-1] = (pk, poff, pn + int(e - s))
+                buckets[-1] = (pk, poff, pn + n_rows)
             else:
-                buckets.append((k, int(off[s]), int(e - s)))
+                buckets.append((k, int(slot_base[si]), n_rows))
         layouts[name] = EllMatrix(
-            cols=cols_p.astype(np.int32),
-            coeff_ids=cids_p.astype(np.int32),
+            cols=cols_arr,
+            coeff_ids=cids_arr,
             buckets=tuple(buckets),
             inv_pos=np.empty(0, np.int32),  # unused (shared perm)
         )
-    return layouts, perm
+    return layouts, pos_of_row.astype(np.int32), padded_rows
 
 
 def build_templated_check(
@@ -588,9 +613,9 @@ def build_templated_check(
     hi = (coeff_limbs_np >> 8) & np.uint32(0xFF)
     coeff_digits_lm = np.stack([lo, hi], axis=-1).reshape(len(table), 32).T.copy()
 
-    mats, perm = _build_shared_ell(template, zero_id)
+    mats, pos_of_row, Rtp = _build_shared_ell(template, zero_id)
     Rt = template.num_constraints
-    inv_perm = jax.device_put(np.argsort(perm).astype(np.int32))
+    pos_d = jax.device_put(pos_of_row)
     # Per-matrix device-resident index data + precomputed coefficient-digit
     # planes (static gathers folded on host).
     dev = {}
@@ -611,6 +636,56 @@ def build_templated_check(
             )
         return jnp.concatenate(parts, axis=1)
 
+    # Fused-kernel bits path (TPU): per bucket, mask + row-sum (MXU matmul)
+    # + digit reduce run in one Pallas kernel; only the witness gather and
+    # the final concat/compare remain in XLA.
+    fused = use_pallas and witness_form == "bits" and batch % 128 == 0
+    if fused:
+        from .field_pallas import make_bits_matvec_bucket
+
+        lo8 = coeff_limbs_np & np.uint32(0xFF)
+        hi8 = (coeff_limbs_np >> 8) & np.uint32(0xFF)
+        cd_all = np.stack([lo8, hi8], axis=-1).reshape(len(table), 32)
+        fused_mats = {}
+        for name, m in mats.items():
+            entries = []
+            for k, start, n_rows in m.buckets:
+                cd_b = (
+                    cd_all[np.asarray(m.coeff_ids[start : start + n_rows * k])]
+                    .reshape(n_rows, k, 32)
+                    .transpose(2, 0, 1)
+                    .copy()
+                )
+                entries.append(
+                    (
+                        k,
+                        start,
+                        n_rows,
+                        make_bits_matvec_bucket(template.field, k, n_rows, batch),
+                        jax.device_put(cd_b),
+                    )
+                )
+            fused_mats[name] = entries
+
+        def matvec_bits_fused(name: str, bits_T):
+            az_parts = []
+            bv_all = bits_T[dev[name]["cols"]]  # [total, B]
+            for k, start, n_rows, kern, cd_b in fused_mats[name]:
+                bv = bv_all[start : start + n_rows * k].reshape(n_rows, k, batch)
+                az_parts.append(kern(bv, cd_b))  # [16, n_rows, B]
+            return jnp.concatenate(az_parts, axis=1)  # [16, Rtp, B]
+
+        def violations_bits_fused(vals):
+            B = vals.shape[0]
+            bits_T = vals.T
+            az = matvec_bits_fused("a", bits_T).reshape(16, Rtp * B)
+            bz = matvec_bits_fused("b", bits_T).reshape(16, Rtp * B)
+            cz = matvec_bits_fused("c", bits_T).reshape(16, Rtp * B)
+            lhs = impl.mul_lm(az, bz)
+            bad = jnp.any(lhs != cz, axis=0).reshape(Rtp, B)
+            bad = jnp.take(bad, pos_d, axis=0)
+            return bad.T.reshape(B * Rt)
+
     def matvec_bits_raw(name: str, mat: EllMatrix, bits_T):
         # bits_T: [S_t, B] batch-minor, values in {0, 1}. Gathers fetch
         # contiguous B-wide rows with TEMPLATE-level (shared) indices —
@@ -620,7 +695,7 @@ def build_templated_check(
         bv = bits_T[dev[name]["cols"]]  # [total, B] row gather
         cd = dev[name]["cd"]  # [32, total] (precomputed on host)
         digits = cd[:, :, None] * bv[None]  # [32, total, B] (fused w/ sums)
-        return bucket_rowsums_bm(mat, digits, B)  # [32, Rt, B] (unreduced)
+        return bucket_rowsums_bm(mat, digits, B)  # [32, Rtp, B] (unreduced)
 
     def bucket_rowsums_lm(mat: EllMatrix, digits_lm):
         parts = []
@@ -642,7 +717,7 @@ def build_templated_check(
         )  # [B·total, 32]
         digits_lm = digits.T.reshape(32, B, total)
         rs = bucket_rowsums_lm(mat, digits_lm)
-        return impl.reduce_digits_lm(rs.reshape(32, B * Rt))
+        return impl.reduce_digits_lm(rs.reshape(32, B * Rtp))
 
     def violations_bits(vals):
         B = vals.shape[0]
@@ -650,13 +725,13 @@ def build_templated_check(
         # batch-minor with shared-index row gathers.
         az, bz, cz = (
             impl.reduce_digits_lm(
-                matvec_bits_raw(n, mats[n], bits_T).reshape(32, Rt * B)
+                matvec_bits_raw(n, mats[n], bits_T).reshape(32, Rtp * B)
             )
             for n in ("a", "b", "c")
         )
         lhs = impl.mul_lm(az, bz)
-        bad = jnp.any(lhs != cz, axis=0).reshape(Rt, B)  # bucket order
-        bad = jnp.take(bad, inv_perm, axis=0)  # original row order
+        bad = jnp.any(lhs != cz, axis=0).reshape(Rtp, B)  # padded bucket order
+        bad = jnp.take(bad, pos_d, axis=0)  # original row order [Rt, B]
         return bad.T.reshape(B * Rt)  # instance-major
 
     def violations_limbs(z3):
@@ -665,10 +740,12 @@ def build_templated_check(
         bz = matvec_limbs("b", mats["b"], z3)
         cz = matvec_limbs("c", mats["c"], z3)
         lhs = impl.mul_lm(az, bz)
-        bad2 = jnp.any(lhs != cz, axis=0).reshape(B, Rt)
-        return jnp.take(bad2, inv_perm, axis=1).reshape(B * Rt)
+        bad2 = jnp.any(lhs != cz, axis=0).reshape(B, Rtp)
+        return jnp.take(bad2, pos_d, axis=1).reshape(B * Rt)
 
-    return violations_bits if witness_form == "bits" else violations_limbs
+    if witness_form == "bits":
+        return violations_bits_fused if fused else violations_bits
+    return violations_limbs
 
 
 class TemplatedSatisfier:
