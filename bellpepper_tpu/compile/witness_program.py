@@ -309,10 +309,33 @@ class WitnessProgram:
     # ------------------------------------------------------------------
     # evaluation
     # ------------------------------------------------------------------
-    def build(self):
+    def build(self, use_pallas: bool | None = None):
         """Jitted evaluator: (free_bits[B, n_free], free_field[B, nf, 16]?)
-        → (vals u32[B, S], flimbs u32[B, F, 16])."""
+        → (vals u32[B, S], flimbs u32[B, F, 16]).
+
+        On TPU, field multiplies route through the Pallas kernel — the jnp
+        multiply inlines ~1.5k HLO ops per stage, which makes programs with
+        many field stages take minutes to compile remotely."""
+        import jax as _jax
+
+        if use_pallas is None:
+            use_pallas = _jax.default_backend() not in ("cpu",)
         be = self.backend
+        if use_pallas:
+            from ..backend.field_pallas import TILE, get_pallas_ops
+
+            _ops = get_pallas_ops(self.field)
+
+            def fmul(a, b):
+                # a, b: [B, W, 16] → flat limb-major, padded to TILE.
+                B, W, _ = a.shape
+                n = B * W
+                tp = -(-n // TILE) * TILE
+                al = _ops.to_limb_major(a.reshape(n, 16), tp)
+                bl = _ops.to_limb_major(b.reshape(n, 16), tp)
+                return _ops.mul(al, bl)[:, :n].T.reshape(B, W, 16)
+        else:
+            fmul = be.mul
         stages = self.stages
         S = self.num_slots
         F = max(self.n_field_rows, 1)
@@ -400,7 +423,7 @@ class WitnessProgram:
                 elif oc in ("fadd", "fmul"):
                     a = fget(st, "a", vals, flimbs)
                     b = fget(st, "b", vals, flimbs)
-                    r = be.add(a, b) if oc == "fadd" else be.mul(a, b)
+                    r = be.add(a, b) if oc == "fadd" else fmul(a, b)
                     flimbs = flimbs.at[:, st.outs].set(r)
                     vals = vals.at[:, st.arrs["out_slots"]].set(
                         r[..., 0] | (r[..., 1] << 16)

@@ -77,8 +77,14 @@ def config1():
     B = 512
     sat = TemplatedSatisfier(template, B, witness_form="limbs")
     free = np.random.default_rng(5).integers(0, 2, size=(B, 128)).astype(np.uint32)
+    free_d = jnp.asarray(free)
+    # Warm (deep sequential field-op chains compile slowly on the remote
+    # compiler — a known limitation recorded in BASELINE.md), then measure.
+    vals, flimbs = prog.run(free_d)
+    z3 = prog.z_template_limbs(vals, flimbs)
+    _ = int(jnp.sum(z3[0, 0, :1]))
     t0 = time.time()
-    vals, flimbs = prog.run(jnp.asarray(free))
+    vals, flimbs = prog.run(free_d)
     z3 = prog.z_template_limbs(vals, flimbs)
     _ = int(jnp.sum(z3[0, 0, :1]))
     t_wit = time.time() - t0
