@@ -326,7 +326,18 @@ class Satisfier:
         self.use_pallas = use_pallas
 
         if use_pallas:
-            self._build_pallas()
+            # Route through the shared-perm templated machinery with a
+            # trivial batch of one "instance" covering the whole system.
+            violations = build_templated_check(
+                r1cs, 1, use_pallas=True, witness_form="limbs"
+            )
+
+            @jax.jit
+            def check(z):
+                bad = violations(z[None])
+                return jnp.any(bad), jnp.argmax(bad)
+
+            self._check = check
         else:
             self.device = DeviceR1CS.from_r1cs(r1cs)
             be = self.backend
@@ -340,73 +351,6 @@ class Satisfier:
                 return any_bad, first
 
             self._check = check
-
-    def _build_pallas(self):
-        from .field_pallas import TILE, get_pallas_ops
-
-        r = self.r1cs
-        be = self.backend
-        ops = get_pallas_ops(r.field)
-        self._ops = ops
-
-        # Coefficient table with a guaranteed zero entry for padding.
-        table = list(r.coeff_table)
-        try:
-            zero_id = table.index(0)
-        except ValueError:
-            zero_id = len(table)
-            table.append(0)
-        coeff_limbs = jnp.asarray(be.to_limbs(table))
-
-        mats = {
-            name: EllMatrix.build(
-                getattr(r, name).rows,
-                getattr(r, name).cols,
-                getattr(r, name).coeff_ids,
-                r.num_constraints,
-                zero_id,
-            )
-            for name in ("a", "b", "c")
-        }
-
-        R = r.num_constraints
-        Rp = -(-max(R, 1) // TILE) * TILE
-
-        def matvec_lm(mat: EllMatrix, z_bm):
-            # One padded gather + one batched modmul over all bucket slots.
-            total = mat.cols.shape[0]
-            tp = -(-max(total, 1) // TILE) * TILE
-            zv = z_bm[mat.cols]  # [total, 16]
-            cv = coeff_limbs[mat.coeff_ids]
-            a_lm = ops.to_limb_major(zv, tp)
-            b_lm = ops.to_limb_major(cv, tp)
-            digits = ops.mul_digits(a_lm, b_lm)[:, :total].T  # [total, 32]
-            # Dense per-bucket row sums (digits ≤ 255, K ≤ 2^20 → uint32 ok).
-            parts = []
-            for k, start, n_rows in mat.buckets:
-                seg = digits[start : start + n_rows * k]
-                parts.append(
-                    jnp.sum(seg.reshape(n_rows, k, 32), axis=1, dtype=jnp.uint32)
-                )
-            rows_bucketed = jnp.concatenate(parts, axis=0)  # [R, 32] bucket order
-            rowsum = rows_bucketed[mat.inv_pos]  # [R, 32] global order
-            rs = rowsum.T
-            if Rp != R:
-                rs = jnp.pad(rs, ((0, 0), (0, Rp - R)))
-            return ops.reduce_digits(rs)  # [16, Rp] canonical
-
-        @jax.jit
-        def check(z_bm):
-            az = matvec_lm(mats["a"], z_bm)
-            bz = matvec_lm(mats["b"], z_bm)
-            cz = matvec_lm(mats["c"], z_bm)
-            lhs = ops.mul(az, bz)  # [16, Rp]
-            bad = jnp.any(lhs != cz, axis=0)[:R]
-            return jnp.any(bad), jnp.argmax(bad)
-
-        self._check = check
-        self._matvec_lm = matvec_lm
-        self._mats = mats
 
     def z_from_assignments(self, inputs, aux) -> jnp.ndarray:
         return assemble_z(self.backend, inputs, aux)
@@ -596,7 +540,10 @@ def build_templated_check(
 
     Returns an UNJITTED function z → bool[B·Rt] violation mask in the
     ORIGINAL row order (instances major), suitable for jit or shard_map."""
-    assert template.num_inputs == 1, "templates must be input-free"
+    # Multi-instance batching requires input-free templates (each
+    # instance's slot 0 is its ONE); a trivial batch of 1 covers any
+    # R1CS, inputs included.
+    assert template.num_inputs == 1 or batch == 1, "templates must be input-free"
     be = get_backend(template.field)
     impl = _PallasAdapter(template.field) if use_pallas else _JnpAdapter(template.field)
 
