@@ -27,6 +27,14 @@ import numpy as np
 
 def main():
     import jax
+
+    # Persist compiled executables across processes — remote TPU compiles
+    # take minutes; the cache makes repeat runs start in seconds.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from bellpepper_tpu.backend.matvec import TemplatedSatisfier
