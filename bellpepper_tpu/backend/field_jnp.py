@@ -54,7 +54,9 @@ class FieldBackend:
     :func:`get_backend` (cached per modulus)."""
 
     def __init__(self, field: PrimeField):
-        assert field.NUM_BITS <= 256, "backend supports fields up to 256 bits"
+        # 255-bit bound: add/sub/_carry16 drop the carry out of limb 15, so
+        # a full 256-bit modulus would wrap silently (a+b can reach 2p-2).
+        assert field.NUM_BITS <= 255, "backend supports fields up to 255 bits"
         self.field = field
         p = field.p
         self.p_limbs16 = jnp.asarray(_int_to_limbs16(p))

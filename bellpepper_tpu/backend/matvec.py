@@ -49,6 +49,10 @@ class DeviceR1CS(NamedTuple):
     @staticmethod
     def from_r1cs(r: R1CS) -> "DeviceR1CS":
         be = get_backend(r.field)
+        for name in ("a", "b", "c"):
+            _assert_row_density(
+                getattr(r, name).rows, r.num_constraints, f"matrix {name}"
+            )
         return DeviceR1CS(
             a=DeviceMatrix(
                 jnp.asarray(r.a.rows), jnp.asarray(r.a.cols), jnp.asarray(r.a.coeff_ids)
@@ -103,18 +107,20 @@ def assemble_z(be: FieldBackend, inputs, aux) -> jnp.ndarray:
     return jnp.asarray(be.to_limbs(list(inputs) + list(aux)))
 
 
-def _pad_coo(rows, cols, coeff_ids, multiple: int, zero_id: int):
-    """Pad COO entry arrays to a multiple of `multiple` with inert entries
-    (row 0, col 0, coefficient 0 — contributes nothing)."""
-    e = rows.shape[0]
-    ep = -(-max(e, 1) // multiple) * multiple
-    if ep == e:
-        return rows, cols, coeff_ids
-    pad = ep - e
-    return (
-        np.concatenate([rows, np.zeros(pad, np.int32)]),
-        np.concatenate([cols, np.zeros(pad, np.int32)]),
-        np.concatenate([coeff_ids, np.full(pad, zero_id, np.int32)]),
+# The 8-bit digit row sums accumulate in uint32 lanes; they are exact only
+# while 255·nnz plus the running carry fits 32 bits. Layout builders assert
+# this so an externally-built R1CS with a denser row fails loudly at build
+# time instead of corrupting row sums.
+MAX_ROW_NNZ = (1 << 24) // 255
+
+
+def _assert_row_density(rows: np.ndarray, num_rows: int, what: str) -> None:
+    if len(rows) == 0:
+        return
+    max_nnz = int(np.bincount(rows, minlength=num_rows).max())
+    assert max_nnz <= MAX_ROW_NNZ, (
+        f"{what}: a row has {max_nnz} entries; the digit accumulation is "
+        f"exact only up to {MAX_ROW_NNZ} entries per row"
     )
 
 
@@ -133,50 +139,6 @@ class EllMatrix(NamedTuple):
     buckets: tuple  # ((K, start_slot, n_rows), ...) static
     inv_pos: jnp.ndarray  # int32[R]: global row -> position in bucket order
 
-    @staticmethod
-    def build(rows: np.ndarray, cols: np.ndarray, coeff_ids: np.ndarray,
-              num_rows: int, zero_id: int) -> "EllMatrix":
-        R = num_rows
-        order = np.argsort(rows, kind="stable")
-        rows_s, cols_s, cids_s = rows[order], cols[order], coeff_ids[order]
-        nnz = np.bincount(rows_s, minlength=R).astype(np.int64)
-        ptr = np.zeros(R + 1, np.int64)
-        np.cumsum(nnz, out=ptr[1:])
-        # Bucket width per row: next pow2 (min 1).
-        K = np.maximum(1, 2 ** np.ceil(np.log2(np.maximum(nnz, 1))).astype(np.int64))
-        # Row order: by bucket width, then original row id (stable).
-        perm = np.lexsort((np.arange(R), K))  # positions -> row ids
-        inv_pos = np.empty(R, np.int64)
-        inv_pos[perm] = np.arange(R)
-        K_perm = K[perm]
-        nnz_perm = nnz[perm]
-        off = np.zeros(R + 1, np.int64)
-        np.cumsum(K_perm, out=off[1:])
-        total = int(off[-1])
-        # slot -> (row position, index within row)
-        slot_row = np.repeat(np.arange(R), K_perm)
-        within = np.arange(total) - off[slot_row]
-        live = within < nnz_perm[slot_row]
-        src = ptr[perm[slot_row]] + within
-        cols_p = np.where(live, cols_s[np.minimum(src, len(cols_s) - 1)], 0)
-        cids_p = np.where(live, cids_s[np.minimum(src, len(cids_s) - 1)], zero_id)
-        # Static bucket table: contiguous runs of equal K in permuted order.
-        buckets = []
-        i = 0
-        while i < R:
-            k = int(K_perm[i])
-            j = i
-            while j < R and K_perm[j] == k:
-                j += 1
-            buckets.append((k, int(off[i]), j - i))
-            i = j
-        return EllMatrix(
-            cols=cols_p.astype(np.int32),
-            coeff_ids=cids_p.astype(np.int32),
-            buckets=tuple(buckets),
-            inv_pos=inv_pos.astype(np.int32),
-        )
-
 
 def build_row_sharded_parts(r1cs: R1CS, n_shards: int):
     """Partition an R1CS along the CONSTRAINT axis into n_shards row
@@ -189,6 +151,8 @@ def build_row_sharded_parts(r1cs: R1CS, n_shards: int):
     static bucket signature and padded sizes."""
     R = r1cs.num_constraints
     rs = -(-R // n_shards)  # rows per shard (last padded with empty rows)
+    for name in ("a", "b", "c"):
+        _assert_row_density(getattr(r1cs, name).rows, R, f"matrix {name}")
 
     table = list(r1cs.coeff_table)
     try:
@@ -322,7 +286,7 @@ class Satisfier:
         self.r1cs = r1cs
         self.backend = get_backend(r1cs.field)
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
 
         if use_pallas:
@@ -448,10 +412,23 @@ def _build_shared_ell(template: R1CS, zero_id: int):
     Returns (layouts, pos_of_row, padded_rows): pos_of_row[r] is the
     padded-bucket-order position of original row r."""
     R = template.num_constraints
+    if R == 0:
+        empty = EllMatrix(
+            cols=np.zeros(0, np.int32),
+            coeff_ids=np.zeros(0, np.int32),
+            buckets=(),
+            inv_pos=np.empty(0, np.int32),
+        )
+        return (
+            {n: empty for n in ("a", "b", "c")},
+            np.empty(0, np.int32),
+            0,
+        )
     Ks = {}
     per = {}
     for name in ("a", "b", "c"):
         m = getattr(template, name)
+        _assert_row_density(m.rows, R, f"matrix {name}")
         order = np.argsort(m.rows, kind="stable")
         nnz = np.bincount(m.rows, minlength=R).astype(np.int64)
         ptr = np.zeros(R + 1, np.int64)
@@ -715,7 +692,7 @@ class TemplatedSatisfier:
         witness_form: str = "limbs",
     ):
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         self.r1cs = template
         self.batch = batch
         self.witness_form = witness_form

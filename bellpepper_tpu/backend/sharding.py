@@ -58,7 +58,7 @@ class ShardedSatisfier:
         witness_form: str = "limbs",
     ):
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         n_dev = mesh.devices.size
         assert batch % n_dev == 0, "batch must divide evenly over the mesh"
         self.r1cs = template
@@ -140,7 +140,7 @@ def sharded_witness_and_check(
     independent, so sharding the batch axis is enough; the check reduces
     with psum."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = jax.default_backend() == "tpu"
     n_dev = mesh.devices.size
     assert batch % n_dev == 0
     local_b = batch // n_dev
@@ -203,7 +203,7 @@ class RowShardedSatisfier:
         from ..backend.field_jnp import get_backend
 
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         n_dev = mesh.devices.size
         self.r1cs = r1cs
         self.mesh = mesh

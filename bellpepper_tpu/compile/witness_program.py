@@ -319,7 +319,7 @@ class WitnessProgram:
         import jax as _jax
 
         if use_pallas is None:
-            use_pallas = _jax.default_backend() not in ("cpu",)
+            use_pallas = _jax.default_backend() == "tpu"
         be = self.backend
         if use_pallas:
             from ..backend.field_pallas import TILE, get_pallas_ops
@@ -356,12 +356,16 @@ class WitnessProgram:
             flimbs = jnp.zeros((B, F, 16), jnp.uint32)
 
             def fget(st, prefix, vals, flimbs):
+                # `idx` mixes three index spaces (field row / free-field row /
+                # slot id) selected by `kind`; each gather clamps explicitly
+                # so an index from another kind can never read OOB — the
+                # clamped garbage value is discarded by the `where` below.
                 kind = st.arrs[prefix + "_kind"]
                 idx = st.arrs[prefix + "_idx"]
-                from_rows = flimbs[:, idx]  # [B, W, 16]
-                lifted = lift(vals[:, idx])
+                from_rows = flimbs[:, jnp.minimum(idx, F - 1)]  # [B, W, 16]
+                lifted = lift(vals[:, jnp.minimum(idx, S - 1)])
                 if n_free_field:
-                    from_free = free_field[:, idx]
+                    from_free = free_field[:, jnp.minimum(idx, n_free_field - 1)]
                 else:
                     from_free = lifted
                 k = kind[None, :, None]

@@ -349,6 +349,19 @@ class Namespace(ConstraintSystem):
     def aux_slice(self):
         return self._root.aux_slice()
 
+    def push_namespace(self, name) -> None:
+        # Deliberate panic, mirroring constraint_system.rs:289-293: only
+        # the root should create namespaces (use `namespace` instead).
+        raise RuntimeError(
+            "only the root's push_namespace should be called"
+        )
+
+    def pop_namespace(self) -> None:
+        # constraint_system.rs:295-299.
+        raise RuntimeError(
+            "only the root's pop_namespace should be called"
+        )
+
     def __enter__(self) -> "Namespace":
         return self
 

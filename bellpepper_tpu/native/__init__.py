@@ -13,6 +13,7 @@ The shared object builds with:  make -C bellpepper_tpu/native
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import List, Optional, Sequence
@@ -32,15 +33,31 @@ _OPCODE_NAMES = ["xor", "and", "and_not", "nor", "ch", "maj", "addmany"]
 _lib = None
 
 
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def load_library():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    # Rebuild when the .so is missing or was built from different source.
+    # A content hash (sidecar file) is the check — mtimes are not preserved
+    # by git checkout, so they can't distinguish stale from fresh builds.
+    stamp = _SO + ".srchash"
+    want = _src_hash()
+    have = None
+    if os.path.exists(_SO) and os.path.exists(stamp):
+        with open(stamp) as f:
+            have = f.read().strip()
+    if have != want:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
             check=True,
         )
+        with open(stamp, "w") as f:
+            f.write(want)
     lib = ctypes.CDLL(_SO)
     lib.bp_builder_new.restype = ctypes.c_void_p
     lib.bp_builder_new.argtypes = [ctypes.POINTER(ctypes.c_uint64)]

@@ -76,3 +76,43 @@ def test_witness_cs_assignment_roundtrip():
     assert w2 == w
     assert w2.inputs_slice() == [1, 6]
     assert w2.aux_slice() == [5]
+
+
+def test_namespace_push_pop_panics():
+    # constraint_system.rs:289-299 — push/pop on a Namespace is a
+    # deliberate panic; only the root manages the namespace stack.
+    import pytest
+
+    cs = TestConstraintSystem()
+    ns = cs.namespace("a")
+    with pytest.raises(RuntimeError, match="root's push_namespace"):
+        ns.push_namespace("b")
+    with pytest.raises(RuntimeError, match="root's pop_namespace"):
+        ns.pop_namespace()
+
+
+def test_empty_r1cs_ell_layout():
+    # Zero-constraint systems must build an (empty) ELL layout rather
+    # than crash in the bucket loop.
+    from bellpepper_tpu.backend.matvec import _build_shared_ell
+    from bellpepper_tpu.r1cs import ShapeCS
+
+    shape = ShapeCS()
+    shape.alloc("x", None)
+    r = shape.finish()
+    assert r.num_constraints == 0
+    layouts, pos, padded = _build_shared_ell(r, 0)
+    assert padded == 0 and len(pos) == 0
+    assert all(len(m.buckets) == 0 for m in layouts.values())
+
+
+def test_row_density_guard():
+    import numpy as np
+    import pytest
+
+    from bellpepper_tpu.backend.matvec import MAX_ROW_NNZ, _assert_row_density
+
+    rows = np.zeros(MAX_ROW_NNZ + 1, np.int32)  # all entries in row 0
+    with pytest.raises(AssertionError, match="entries per row"):
+        _assert_row_density(rows, 1, "matrix a")
+    _assert_row_density(rows[:MAX_ROW_NNZ], 1, "matrix a")
