@@ -282,7 +282,10 @@ class Satisfier:
     maps the row back to the constraint path on the host, mirroring
     TestConstraintSystem::which_is_unsatisfied (test_cs.rs:239-253)."""
 
-    def __init__(self, r1cs: R1CS, use_pallas: bool | None = None):
+    def __init__(self, r1cs: R1CS, use_pallas: bool | None = None,
+                 config=None):
+        if config is not None and use_pallas is None:
+            use_pallas = config.use_pallas
         self.r1cs = r1cs
         self.backend = get_backend(r1cs.field)
         if use_pallas is None:
@@ -687,10 +690,19 @@ class TemplatedSatisfier:
     def __init__(
         self,
         template: R1CS,
-        batch: int,
+        batch: int | None = None,
         use_pallas: bool | None = None,
-        witness_form: str = "limbs",
+        witness_form: str | None = None,
+        config=None,
     ):
+        if config is not None:
+            batch = config.batch if batch is None else batch
+            use_pallas = config.use_pallas if use_pallas is None else use_pallas
+            witness_form = (
+                config.witness_form if witness_form is None else witness_form
+            )
+        assert batch is not None, "batch required (directly or via config)"
+        witness_form = witness_form or "limbs"
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.r1cs = template

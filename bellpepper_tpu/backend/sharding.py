@@ -51,12 +51,24 @@ class ShardedSatisfier:
     def __init__(
         self,
         template: R1CS,
-        batch: int,
-        mesh: Mesh,
+        batch: int | None = None,
+        mesh: Mesh | None = None,
         use_pallas: bool | None = None,
-        axis: str = "data",
-        witness_form: str = "limbs",
+        axis: str | None = None,
+        witness_form: str | None = None,
+        config=None,
     ):
+        if config is not None:
+            batch = config.batch if batch is None else batch
+            mesh = config.make_mesh() if mesh is None else mesh
+            use_pallas = config.use_pallas if use_pallas is None else use_pallas
+            axis = config.mesh_axis if axis is None else axis
+            witness_form = (
+                config.witness_form if witness_form is None else witness_form
+            )
+        assert batch is not None and mesh is not None
+        axis = axis or "data"
+        witness_form = witness_form or "limbs"
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         n_dev = mesh.devices.size
@@ -194,11 +206,22 @@ class RowShardedSatisfier:
     def __init__(
         self,
         r1cs: R1CS,
-        mesh: Mesh,
+        mesh: Mesh | None = None,
         use_pallas: bool | None = None,
-        axis: str = "data",
-        witness_form: str = "limbs",
+        axis: str | None = None,
+        witness_form: str | None = None,
+        config=None,
     ):
+        if config is not None:
+            mesh = config.make_mesh() if mesh is None else mesh
+            use_pallas = config.use_pallas if use_pallas is None else use_pallas
+            axis = config.mesh_axis if axis is None else axis
+            witness_form = (
+                config.witness_form if witness_form is None else witness_form
+            )
+        assert mesh is not None
+        axis = axis or "data"
+        witness_form = witness_form or "limbs"
         from .matvec import _JnpAdapter, _PallasAdapter, build_row_sharded_parts
         from ..backend.field_jnp import get_backend
 

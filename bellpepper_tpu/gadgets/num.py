@@ -47,6 +47,26 @@ class AllocatedNum:
     def get_variable(self) -> Variable:
         return self.variable
 
+    # -- serde parity (num.rs:10-14 derive(Serialize, Deserialize)) -------
+    # Field values serialize as the canonical 32-byte repr in hex
+    # (big-endian, the `to_repr` byte order reversed — same convention as
+    # the shape hash); None maps to null like serde's Option.
+    def to_json(self) -> dict:
+        return {
+            "value": (
+                None if self.value is None else f"{self.value:064x}"
+            ),
+            "variable": self.variable.to_json(),
+        }
+
+    @staticmethod
+    def from_json(obj: dict) -> "AllocatedNum":
+        v = obj["value"]
+        return AllocatedNum(
+            None if v is None else int(v, 16),
+            Variable.from_json(obj["variable"]),
+        )
+
     # -- allocation ----------------------------------------------------------
     @staticmethod
     def alloc(cs: ConstraintSystem, value) -> "AllocatedNum":

@@ -72,6 +72,20 @@ class Index:
     def order_key(self) -> Tuple[int, int]:
         return (self.tag, self.idx)
 
+    # -- serde parity (lc.rs:26 `#[derive(Serialize, Deserialize)]`) ------
+    # Matches serde_json's externally-tagged enum encoding of
+    # `Index::Input(usize) | Aux(usize)`: {"Input": i} / {"Aux": i}.
+    def to_json(self) -> dict:
+        return {"Input" if self.tag == INPUT else "Aux": self.idx}
+
+    @staticmethod
+    def from_json(obj: dict) -> "Index":
+        if "Input" in obj:
+            return Index.input(int(obj["Input"]))
+        if "Aux" in obj:
+            return Index.aux(int(obj["Aux"]))
+        raise ValueError(f"not an Index: {obj!r}")
+
 
 class Variable:
     """A variable in the constraint system. lc.rs:7-22."""
@@ -84,6 +98,16 @@ class Variable:
     @staticmethod
     def new_unchecked(index: Index) -> "Variable":
         return Variable(index)
+
+    # -- serde parity (lc.rs:7) -------------------------------------------
+    # `Variable(pub Index)` is a newtype: serde serializes it transparently
+    # as the inner Index.
+    def to_json(self) -> dict:
+        return self.index.to_json()
+
+    @staticmethod
+    def from_json(obj: dict) -> "Variable":
+        return Variable(Index.from_json(obj))
 
     def get_unchecked(self) -> Index:
         return self.index

@@ -116,3 +116,62 @@ def test_row_density_guard():
     with pytest.raises(AssertionError, match="entries per row"):
         _assert_row_density(rows, 1, "matrix a")
     _assert_row_density(rows[:MAX_ROW_NNZ], 1, "matrix a")
+
+
+def test_variable_allocated_num_serde():
+    # lc.rs:7,26 + num.rs:10-14 derive Serialize/Deserialize; the JSON
+    # encoding mirrors serde's externally-tagged enums.
+    import json
+
+    from bellpepper_tpu import SCALAR
+    from bellpepper_tpu.gadgets.num import AllocatedNum
+    from bellpepper_tpu.lc import Index, Variable
+
+    v = Variable(Index.aux(7))
+    j = json.loads(json.dumps(v.to_json()))
+    assert j == {"Aux": 7}
+    assert Variable.from_json(j) == v
+    assert Variable.from_json({"Input": 0}).index.is_input()
+
+    cs = TestConstraintSystem()
+    n = AllocatedNum.alloc(cs.namespace("x"), SCALAR.p - 2)
+    j = json.loads(json.dumps(n.to_json()))
+    n2 = AllocatedNum.from_json(j)
+    assert n2.get_value() == n.get_value()
+    assert n2.get_variable() == n.get_variable()
+    n3 = AllocatedNum(None, Variable(Index.aux(3)))
+    assert AllocatedNum.from_json(n3.to_json()).get_value() is None
+
+
+def test_config_object():
+    from bellpepper_tpu.backend.matvec import TemplatedSatisfier
+    from bellpepper_tpu.config import Config, default_config
+    from bellpepper_tpu.r1cs import ShapeCS
+    from bellpepper_tpu.gadgets.num import AllocatedNum
+
+    import pytest
+
+    assert default_config().witness_form == "limbs"
+    with pytest.raises(ValueError):
+        Config(witness_form="nope")
+    with pytest.raises(ValueError):
+        Config(limb_bits=32)
+
+    cfg = Config(batch=2, use_pallas=False)
+    shape = ShapeCS()
+    a = AllocatedNum.alloc(shape.namespace("a"), None)
+    a.square(shape.namespace("b"))
+    template = shape.finish()
+    sat = TemplatedSatisfier(template, config=cfg)
+    assert sat.batch == 2 and sat.witness_form == "limbs"
+
+    import numpy as np
+
+    be = sat.backend
+    z = np.zeros((2, template.num_inputs + template.num_aux, 16), np.uint32)
+    z[:, 0, 0] = 1  # ONE
+    z[:, 1, 0] = 3  # a
+    z[:, 2, 0] = 9  # a^2
+    assert sat.is_satisfied(sat.z_from_instances(z))
+    z[1, 2, 0] = 8
+    assert not sat.is_satisfied(sat.z_from_instances(z))
