@@ -272,26 +272,38 @@ def get_pallas_ops(field: PrimeField, interpret: bool = False) -> PallasFieldOps
 # tiles. HBM traffic collapses to: read bv rows + cd once, write [16, ...]
 # canonical limbs once.
 # ---------------------------------------------------------------------------
-def make_bits_matvec_bucket(field: PrimeField, K: int, n_rows: int, B: int,
-                            interpret: bool = False):
-    """Build the fused kernel for one bucket: inputs
-    bv [n_rows, K, B] uint32 bits and cd [32, n_rows, K] uint32 digits,
-    output [16, n_rows, B] canonical limbs. B must be a multiple of 128."""
+def make_fold_matvec_bucket(field: PrimeField, C: int, n_rows: int, B: int,
+                            chunk_cap: int = 512, interpret: bool = False):
+    """Fused bucket matvec: for each of n_rows rows,
+
+        acc[d, r, :] = Σ_c F[d, r, c] · x[r, c, :]       (exact integers)
+
+    followed by the in-kernel canonical digit reduction. F is a STATIC
+    per-row fold matrix with 8-bit entries (< 256); x carries dynamic
+    values < 256 per lane. The per-row contraction is a [32, C] × [C, B]
+    matmul — exact in fp32 as long as each accumulated chunk stays below
+    2²⁴, hence `chunk_cap` (512 for 0/1·digit products, 256 for
+    digit·digit products); chunks accumulate in uint32.
+
+    Inputs x [n_rows, C, B] uint32 and F [32, n_rows, C] uint32; output
+    [16, n_rows, B] canonical limbs. B must be a multiple of 128."""
     assert B % LANES == 0
+    # uint32 accumulator bound: C · 255² must not wrap.
+    assert C * 255 * 255 < (1 << 32), f"contraction width {C} overflows"
     consts = _Consts(field)
     # Row-tile: largest power of two dividing n_rows, capped so the
-    # bv block (TR·KC·512B) and accumulator (TR·16KB) stay VMEM-friendly;
-    # K==1 buckets (no accumulation) take bigger tiles.
+    # x block (TR·KC·512B) and accumulator (TR·16KB) stay VMEM-friendly;
+    # C==1 buckets (no accumulation) take bigger tiles.
     import math
 
-    cap = 256 if K == 1 else max(1, 512 // min(K, 512)) * 8
+    cap = 256 if C == 1 else max(1, 512 // min(C, 512)) * 8
     cap = min(cap, 256)
     TR = math.gcd(n_rows, cap if (cap & (cap - 1)) == 0 else 8)
     TR = max(TR, math.gcd(n_rows, 8), 1)
-    KC = min(K, 512)
-    while K % KC != 0:
+    KC = min(C, chunk_cap)
+    while C % KC != 0:
         KC //= 2
-    ksteps = K // KC
+    ksteps = C // KC
     nb = B // LANES
     grid = (nb, n_rows // TR, ksteps)
 
@@ -302,9 +314,9 @@ def make_bits_matvec_bucket(field: PrimeField, K: int, n_rows: int, B: int,
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        bv = bv_ref[...]  # [TR, KC, 128] uint32 (0/1)
+        bv = bv_ref[...]  # [TR, KC, 128] uint32 (< 256)
         cd = cd_ref[...]  # [32, TR, KC] uint32 (< 256)
-        if K == 1:
+        if C == 1:
             # No accumulation: plain broadcast mask on the VPU.
             acc_ref[...] = (cd[:, :, 0][:, :, None] * bv[:, 0, :][None]).astype(
                 jnp.uint32
@@ -336,8 +348,8 @@ def make_bits_matvec_bucket(field: PrimeField, K: int, n_rows: int, B: int,
 
     @jax.jit
     def run(bv, cd):
-        assert bv.shape == (n_rows, K, B)
-        assert cd.shape == (L8, n_rows, K)
+        assert bv.shape == (n_rows, C, B)
+        assert cd.shape == (L8, n_rows, C)
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -365,3 +377,56 @@ def make_bits_matvec_bucket(field: PrimeField, K: int, n_rows: int, B: int,
         return out
 
     return run
+
+
+def make_bits_matvec_bucket(field: PrimeField, K: int, n_rows: int, B: int,
+                            interpret: bool = False):
+    """Fused bucket matvec for BIT witnesses: x entries are 0/1, F is the
+    coefficient digit planes (product digit = coeff digit · bit), so
+    chunks of 512 stay exact in fp32 (512·255 < 2²⁴)."""
+    return make_fold_matvec_bucket(
+        field, K, n_rows, B, chunk_cap=512, interpret=interpret
+    )
+
+
+# Maximum ELL row width supported by the fused limbs path: the uint32
+# digit accumulator holds Σ over 32K digit pairs of products < 255².
+MAX_FUSED_LIMBS_K = ((1 << 32) // (255 * 255)) // 32  # = 2064
+
+
+def make_limbs_matvec_bucket(field: PrimeField, K: int, n_rows: int, B: int,
+                             interpret: bool = False):
+    """Fused bucket matvec for FIELD-VALUED witnesses.
+
+    The modmul disappears into a static linear map: with a static
+    coefficient c and witness digits zd[j] (8-bit, little-endian),
+
+        c·z ≡ Σ_j zd[j] · (c·2^{8j} mod p)      (mod p, unreduced digits)
+
+    so each ELL entry contributes F_{c}[d, j]·zd[j] where
+    F_c[d, j] = digit d of (c·2^{8j} mod p) is HOST-precomputed. Per
+    bucket the row sum over K entries and 32 digit positions is one
+    [32, 32K] × [32K, B] MXU matmul per row — the same kernel as the bits
+    path with contraction width 32K and digit·digit chunks of 256
+    (256·255² < 2²⁴, exact in fp32). Replaces the reference's per-entry
+    `eval` loop (test_cs.rs:239-253) for field-valued circuits.
+
+    Inputs: zd [n_rows, 32K, B] witness digits (k-major, j-minor) and
+    F [32, n_rows, 32K]; output [16, n_rows, B] canonical limbs."""
+    assert K <= MAX_FUSED_LIMBS_K, f"row width {K} exceeds fused-limbs bound"
+    return make_fold_matvec_bucket(
+        field, 32 * K, n_rows, B, chunk_cap=256, interpret=interpret
+    )
+
+
+def fold_digit_table(field: PrimeField, coeff_table) -> np.ndarray:
+    """uint32[n_coeff, 32, 32]: entry [t, j, d] = digit d of
+    (coeff_table[t] · 2^{8j} mod p) — the per-coefficient fold matrices
+    for `make_limbs_matvec_bucket`."""
+    p = field.p
+    out = np.zeros((len(coeff_table), L8, L8), np.uint32)
+    for t, c in enumerate(coeff_table):
+        c = int(c) % p
+        for j in range(L8):
+            out[t, j] = _digits((c << (8 * j)) % p, 8, L8)
+    return out

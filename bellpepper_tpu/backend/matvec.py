@@ -613,6 +613,81 @@ def build_templated_check(
             bad = jnp.take(bad, pos_d, axis=0)
             return bad.T.reshape(B * Rt)
 
+    # Fused-kernel limbs path (TPU): the modmul is folded into static
+    # per-entry fold matrices (see make_limbs_matvec_bucket) so the whole
+    # gather → modmul → row-sum → reduce runs as MXU matmuls + in-kernel
+    # digit reduction. One row of F costs 4 KB per ELL slot — guard total
+    # HBM footprint and the per-row-width accumulator bound.
+    from .field_pallas import MAX_FUSED_LIMBS_K
+
+    total_slots = sum(int(m.cols.shape[0]) for m in mats.values())
+    fused_limbs = (
+        use_pallas
+        and witness_form == "limbs"
+        and batch % 128 == 0
+        and Rt > 0
+        and all(
+            k <= MAX_FUSED_LIMBS_K
+            for m in mats.values()
+            for (k, _s, _n) in m.buckets
+        )
+        and total_slots * 4096 < 1.5e9
+    )
+    if fused_limbs:
+        from .field_pallas import fold_digit_table, make_limbs_matvec_bucket
+
+        fd = fold_digit_table(template.field, table)  # [T, 32(j), 32(d)]
+        fl_mats = {}
+        for name, m in mats.items():
+            entries = []
+            cids_np = np.asarray(m.coeff_ids)
+            for k, start, n_rows in m.buckets:
+                cid_b = cids_np[start : start + n_rows * k].reshape(n_rows, k)
+                # F[d, r, k·32 + j] = fd[cid[r, k], j, d]
+                F = (
+                    fd[cid_b]
+                    .transpose(3, 0, 1, 2)
+                    .reshape(32, n_rows, k * 32)
+                    .copy()
+                )
+                entries.append(
+                    (
+                        k,
+                        start,
+                        n_rows,
+                        make_limbs_matvec_bucket(
+                            template.field, k, n_rows, batch
+                        ),
+                        jax.device_put(F),
+                    )
+                )
+            fl_mats[name] = entries
+
+        def matvec_limbs_fused(name: str, zd_all):
+            # zd_all: [S_t, 32, B] witness digits (batch-minor).
+            parts = []
+            zv = zd_all[dev[name]["cols"]]  # [total, 32, B] row gather
+            for k, start, n_rows, kern, F in fl_mats[name]:
+                x = zv[start : start + n_rows * k].reshape(
+                    n_rows, k * 32, batch
+                )
+                parts.append(kern(x, F))  # [16, n_rows, B]
+            return jnp.concatenate(parts, axis=1)  # [16, Rtp, B]
+
+        def violations_limbs_fused(z3):
+            B = z3.shape[0]
+            zt = jnp.transpose(z3, (1, 2, 0))  # [S_t, 16, B]
+            zd_all = jnp.stack([zt & 0xFF, (zt >> 8) & 0xFF], axis=2).reshape(
+                zt.shape[0], 32, B
+            )
+            az = matvec_limbs_fused("a", zd_all).reshape(16, Rtp * B)
+            bz = matvec_limbs_fused("b", zd_all).reshape(16, Rtp * B)
+            cz = matvec_limbs_fused("c", zd_all).reshape(16, Rtp * B)
+            lhs = impl.mul_lm(az, bz)
+            bad = jnp.any(lhs != cz, axis=0).reshape(Rtp, B)
+            bad = jnp.take(bad, pos_d, axis=0)
+            return bad.T.reshape(B * Rt)
+
     def matvec_bits_raw(name: str, mat: EllMatrix, bits_T):
         # bits_T: [S_t, B] batch-minor, values in {0, 1}. Gathers fetch
         # contiguous B-wide rows with TEMPLATE-level (shared) indices —
@@ -672,7 +747,7 @@ def build_templated_check(
 
     if witness_form == "bits":
         return violations_bits_fused if fused else violations_bits
-    return violations_limbs
+    return violations_limbs_fused if fused_limbs else violations_limbs
 
 
 class TemplatedSatisfier:

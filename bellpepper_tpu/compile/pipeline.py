@@ -1,0 +1,151 @@
+"""One-dispatch production pipelines.
+
+Dispatch/sync over the remote TPU tunnel costs ~35 ms regardless of work,
+which caps any per-chunk Python loop around 1-3M constraint-evals/s for
+small templates. These builders put the WHOLE workload — witness
+generation and satisfiability for many instance chunks — inside a single
+jitted program with a `lax.scan` over the chunk axis, so the fixed cost is
+paid once and the device pipeline stays full (the TPU-idiomatic version of
+stream-pipelined execution; chunking keeps peak HBM at one chunk's
+intermediates).
+
+This is the production analogue of the reference's `extend`-then-check
+sequence (constraint_system.rs:138-148 + test_cs.rs:239-253): each chunk
+is a block of independently-witnessed template instances; the verdict and
+first-violation index aggregate across chunks inside the program."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..backend.matvec import build_templated_check
+from ..r1cs import R1CS
+
+_SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def _aggregate(nbs: jnp.ndarray, firsts: jnp.ndarray, chunk_span: int):
+    """Combine per-chunk (n_bad, local_first) into a global verdict."""
+    total = jnp.sum(nbs)
+    offsets = (
+        jnp.arange(firsts.shape[0], dtype=jnp.uint32) * jnp.uint32(chunk_span)
+    )
+    global_firsts = jnp.where(nbs > 0, firsts + offsets, _SENTINEL)
+    return total, jnp.min(global_firsts)
+
+
+def build_chunked_check(
+    template: R1CS,
+    batch: int,
+    n_chunks: int,
+    use_pallas: Optional[bool] = None,
+    witness_form: str = "limbs",
+):
+    """Jitted checker over pre-generated witnesses for n_chunks × batch
+    instances: z4 [n_chunks, batch, S_t(,16)] → (total_bad, first)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    violations = build_templated_check(template, batch, use_pallas, witness_form)
+    span = batch * template.num_constraints
+
+    @jax.jit
+    def check(z4):
+        def body(carry, z3):
+            bad = violations(z3)
+            nb = jnp.sum(bad.astype(jnp.uint32))
+            first = jnp.argmax(bad).astype(jnp.uint32)
+            return carry, (nb, first)
+
+        _, (nbs, firsts) = jax.lax.scan(body, 0, z4)
+        return _aggregate(nbs, firsts, span)
+
+    return check
+
+
+def build_production_step(
+    prog,
+    template: R1CS,
+    batch: int,
+    use_pallas: Optional[bool] = None,
+    witness_form: Optional[str] = None,
+):
+    """The full production path in ONE dispatch: free inputs for
+    n_chunks × batch instances → device witness generation → templated
+    satisfiability → (total_bad, first_violation).
+
+    free_bits: uint32[n_chunks, batch, n_free]; free_field (optional):
+    uint32[n_chunks, batch, n_free_field, 16]. The chunk count is read
+    from the argument shape (one compile per n_chunks)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    pure_bits = prog.is_pure_bits
+    if witness_form is None:
+        witness_form = "bits" if pure_bits else "limbs"
+    violations = build_templated_check(template, batch, use_pallas, witness_form)
+    evaluator = prog.build(use_pallas)
+    span = batch * template.num_constraints
+    n_free_field = max(len(prog.free_field_slots), 1)
+
+    @jax.jit
+    def step(free_bits, free_field=None):
+        if free_field is None:
+            free_field = jnp.zeros(
+                free_bits.shape[:2] + (n_free_field, 16), jnp.uint32
+            )
+
+        def body(carry, xs):
+            fb, ff = xs
+            vals, flimbs = evaluator(fb, ff)
+            if pure_bits and witness_form == "bits":
+                z = vals
+            else:
+                z = prog.z_template_limbs(vals, flimbs, ff)
+            bad = violations(z)
+            nb = jnp.sum(bad.astype(jnp.uint32))
+            first = jnp.argmax(bad).astype(jnp.uint32)
+            return carry, (nb, first)
+
+        _, (nbs, firsts) = jax.lax.scan(body, 0, (free_bits, free_field))
+        return _aggregate(nbs, firsts, span)
+
+    return step
+
+
+def build_chunked_witness(prog, use_pallas: Optional[bool] = None):
+    """Witness generation only, chunk-scanned in one dispatch:
+    free_bits [n_chunks, batch, n_free] → vals [n_chunks, batch, S]
+    (bit/u32 domain buffer — the z for pure-bit templates)."""
+    evaluator = prog.build(use_pallas)
+    n_free_field = max(len(prog.free_field_slots), 1)
+
+    @jax.jit
+    def gen(free_bits, free_field=None):
+        if free_field is None:
+            free_field = jnp.zeros(
+                free_bits.shape[:2] + (n_free_field, 16), jnp.uint32
+            )
+
+        def body(carry, xs):
+            fb, ff = xs
+            vals, _fl = evaluator(fb, ff)
+            return carry, vals
+
+        _, out = jax.lax.scan(body, 0, (free_bits, free_field))
+        return out
+
+    return gen
+
+
+def which_from_flat(template: R1CS, flat: int) -> str:
+    """Map a global flat violation index back to 'instance i: path'."""
+    inst, row = divmod(int(flat), template.num_constraints)
+    name = (
+        template.names[row]
+        if template.names is not None
+        else f"constraint #{row}"
+    )
+    return f"instance {inst}: {name}"

@@ -41,6 +41,59 @@ SRC_ROW = 0  # flimbs row
 SRC_LIFT = 1  # lift u32 value from the bit buffer
 SRC_FREE = 2  # caller-provided free-field limb input
 
+# Field stages foldable into one lax.scan step (see _build_scan_tables):
+# uniform (a, b, cond) operand signature, field-row + slot outputs.
+SCAN_OPS = {"fadd": 0, "fmul": 1, "finv": 2, "copy": 3, "select": 4}
+MIN_SCAN_RUN = 4
+
+
+def _build_scan_tables(run, F_scratch: int, S_scratch: int):
+    """Stack a run of field stages into per-step arrays for a lax.scan.
+
+    Deep sequential field chains (e.g. 90 mul/add/square levels) would
+    otherwise inline their HLO per stage — minutes of remote compile. The
+    scan compiles ONE body with a 5-way lax.switch; each step's operand
+    and output indices become scanned xs. Entries padded to the run's max
+    width write to scratch row/slot (F_scratch/S_scratch), which nothing
+    reads."""
+    W = max(len(np.asarray(st.arrs["out_slots"])) for st in run)
+    L = len(run)
+    t = {
+        "op": np.zeros(L, np.int32),
+        "a_kind": np.full((L, W), SRC_LIFT, np.int32),
+        "a_idx": np.zeros((L, W), np.int32),
+        "b_kind": np.full((L, W), SRC_LIFT, np.int32),
+        "b_idx": np.zeros((L, W), np.int32),
+        "c_isc": np.ones((L, W), np.uint32),
+        "c_cv": np.zeros((L, W), np.uint32),
+        "c_idx": np.zeros((L, W), np.int32),
+        "c_neg": np.zeros((L, W), np.uint32),
+        "out_row": np.full((L, W), F_scratch, np.int32),
+        "out_slot": np.full((L, W), S_scratch, np.int32),
+    }
+    for i, st in enumerate(run):
+        oc = st.opcode
+        w = len(np.asarray(st.arrs["out_slots"]))
+        t["op"][i] = SCAN_OPS[oc]
+        t["out_row"][i, :w] = np.asarray(st.outs)
+        t["out_slot"][i, :w] = np.asarray(st.arrs["out_slots"])
+        if oc == "select":
+            t["a_kind"][i, :w] = np.asarray(st.arrs["x_kind"])
+            t["a_idx"][i, :w] = np.asarray(st.arrs["x_idx"])
+            t["b_kind"][i, :w] = np.asarray(st.arrs["y_kind"])
+            t["b_idx"][i, :w] = np.asarray(st.arrs["y_idx"])
+            t["c_isc"][i, :w] = np.asarray(st.arrs["c_isc"])
+            t["c_cv"][i, :w] = np.asarray(st.arrs["c_cv"])
+            t["c_idx"][i, :w] = np.asarray(st.arrs["c_idx"])
+            t["c_neg"][i, :w] = np.asarray(st.arrs["c_neg"])
+        else:
+            t["a_kind"][i, :w] = np.asarray(st.arrs["a_kind"])
+            t["a_idx"][i, :w] = np.asarray(st.arrs["a_idx"])
+            if oc in ("fadd", "fmul"):
+                t["b_kind"][i, :w] = np.asarray(st.arrs["b_kind"])
+                t["b_idx"][i, :w] = np.asarray(st.arrs["b_idx"])
+    return {k: jax.device_put(v) for k, v in t.items()}
+
 
 class _Stage:
     __slots__ = ("opcode", "outs", "arrs", "meta")
@@ -342,28 +395,53 @@ class WitnessProgram:
         free_slots = np.asarray(self.free_slots, np.int32)
         n_free_field = len(self.free_field_slots)
 
+        # Fold maximal runs of >= MIN_SCAN_RUN consecutive field stages
+        # into lax.scan groups (compile the body once instead of inlining
+        # every stage's HLO — deep field chains go from minutes of remote
+        # compile to seconds). Scratch row F / slot S absorb pad writes.
+        exec_plan = []
+        run = []
+
+        def flush_run():
+            nonlocal run
+            if len(run) >= MIN_SCAN_RUN:
+                exec_plan.append(("scan", _build_scan_tables(run, F, S)))
+            else:
+                exec_plan.extend(("stage", st) for st in run)
+            run = []
+
+        for st in stages:
+            if st.opcode in SCAN_OPS:
+                run.append(st)
+            else:
+                flush_run()
+                exec_plan.append(("stage", st))
+        flush_run()
+        use_scratch = any(kind == "scan" for kind, _ in exec_plan)
+
         def lift(u32_vals):
             z = jnp.zeros(u32_vals.shape + (16,), jnp.uint32)
             z = z.at[..., 0].set(u32_vals & 0xFFFF)
             return z.at[..., 1].set(u32_vals >> 16)
 
+        S_buf = S + 1 if use_scratch else S
+        F_buf = F + 1 if use_scratch else F
+
         def evaluate(free_bits, free_field):
             B = free_bits.shape[0]
-            vals = jnp.zeros((B, S), jnp.uint32)
+            vals = jnp.zeros((B, S_buf), jnp.uint32)
             vals = vals.at[:, 0].set(1)  # ONE
             if self.free_slots:
                 vals = vals.at[:, free_slots].set(free_bits)
-            flimbs = jnp.zeros((B, F, 16), jnp.uint32)
+            flimbs = jnp.zeros((B, F_buf, 16), jnp.uint32)
 
-            def fget(st, prefix, vals, flimbs):
+            def fget_arrays(kind, idx, vals, flimbs):
                 # `idx` mixes three index spaces (field row / free-field row /
                 # slot id) selected by `kind`; each gather clamps explicitly
                 # so an index from another kind can never read OOB — the
                 # clamped garbage value is discarded by the `where` below.
-                kind = st.arrs[prefix + "_kind"]
-                idx = st.arrs[prefix + "_idx"]
-                from_rows = flimbs[:, jnp.minimum(idx, F - 1)]  # [B, W, 16]
-                lifted = lift(vals[:, jnp.minimum(idx, S - 1)])
+                from_rows = flimbs[:, jnp.minimum(idx, F_buf - 1)]  # [B, W, 16]
+                lifted = lift(vals[:, jnp.minimum(idx, S_buf - 1)])
                 if n_free_field:
                     from_free = free_field[:, jnp.minimum(idx, n_free_field - 1)]
                 else:
@@ -375,13 +453,57 @@ class WitnessProgram:
                     jnp.where(k == SRC_FREE, from_free, lifted),
                 )
 
+            def fget(st, prefix, vals, flimbs):
+                return fget_arrays(
+                    st.arrs[prefix + "_kind"],
+                    st.arrs[prefix + "_idx"],
+                    vals,
+                    flimbs,
+                )
+
             def bview(st, prefix, vals):
                 v = vals[:, st.arrs[prefix + "_idx"]] ^ st.arrs[prefix + "_neg"]
                 return jnp.where(
                     st.arrs[prefix + "_isc"] == 1, st.arrs[prefix + "_cv"], v
                 )
 
-            for st in stages:
+            def scan_run(tables, vals, flimbs):
+                def body(carry, xs):
+                    vals, flimbs = carry
+                    a = fget_arrays(xs["a_kind"], xs["a_idx"], vals, flimbs)
+                    b = fget_arrays(xs["b_kind"], xs["b_idx"], vals, flimbs)
+                    cond = jnp.where(
+                        xs["c_isc"] == 1,
+                        xs["c_cv"],
+                        vals[:, xs["c_idx"]] ^ xs["c_neg"],
+                    )
+                    r = jax.lax.switch(
+                        xs["op"],
+                        [
+                            lambda a, b, c: be.add(a, b),
+                            lambda a, b, c: fmul(a, b),
+                            lambda a, b, c: be.inv(a),
+                            lambda a, b, c: a,
+                            lambda a, b, c: jnp.where(c[..., None] == 1, a, b),
+                        ],
+                        a,
+                        b,
+                        cond,
+                    )
+                    flimbs = flimbs.at[:, xs["out_row"]].set(r)
+                    vals = vals.at[:, xs["out_slot"]].set(
+                        r[..., 0] | (r[..., 1] << 16)
+                    )
+                    return (vals, flimbs), None
+
+                (vals, flimbs), _ = jax.lax.scan(body, (vals, flimbs), tables)
+                return vals, flimbs
+
+            for plan_kind, item in exec_plan:
+                if plan_kind == "scan":
+                    vals, flimbs = scan_run(item, vals, flimbs)
+                    continue
+                st = item
                 oc = st.opcode
                 if oc in ("xor", "and", "and_not", "nor"):
                     a = vals[:, st.arrs["a"]]
@@ -508,6 +630,8 @@ class WitnessProgram:
                     )
                 else:  # pragma: no cover
                     raise AssertionError(oc)
+            if use_scratch:
+                return vals[:, :S], flimbs[:, :F]
             return vals, flimbs
 
         return jax.jit(evaluate)

@@ -1,0 +1,126 @@
+"""One-dispatch pipeline tests (chunk-scanned witness+check) on the CPU
+backend; the TPU benchmarks use the same builders."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bellpepper_tpu.compile.pipeline import (
+    build_chunked_check,
+    build_production_step,
+    which_from_flat,
+)
+from bellpepper_tpu.compile.tape import TapeCS
+from bellpepper_tpu.compile.witness_program import WitnessProgram
+from bellpepper_tpu.gadgets.boolean import AllocatedBit, Boolean
+from bellpepper_tpu.gadgets.num import AllocatedNum
+from bellpepper_tpu.gadgets.uint32 import UInt32
+from bellpepper_tpu.r1cs import ShapeCS
+
+
+def _bits_template():
+    def circuit(cs):
+        a = UInt32.alloc(cs.namespace("a"), None)
+        b = UInt32.alloc(cs.namespace("b"), None)
+        x = a.xor(cs.namespace("x"), b.rotr(7))
+        from bellpepper_tpu.gadgets.multieq import MultiEq
+
+        with MultiEq(cs) as mcs:
+            UInt32.addmany(mcs.namespace("s"), [x, a.shr(3)])
+
+    shape = ShapeCS()
+    circuit(shape)
+    tape = TapeCS()
+    circuit(tape)
+    return shape.finish(), WitnessProgram(tape)
+
+
+def test_production_step_bits():
+    template, prog = _bits_template()
+    assert prog.is_pure_bits
+    n_chunks, B = 3, 4
+    rng = np.random.default_rng(5)
+    free = rng.integers(
+        0, 2, size=(n_chunks, B, len(prog.free_slots))
+    ).astype(np.uint32)
+    step = build_production_step(prog, template, B, use_pallas=False)
+    total, first = step(jnp.asarray(free))
+    assert int(total) == 0
+
+    # Corrupting a free input bit still yields a VALID witness (the
+    # program recomputes downstream values), so instead check the chunked
+    # checker against a corrupted witness buffer directly.
+    from bellpepper_tpu.compile.pipeline import build_chunked_witness
+
+    gen = build_chunked_witness(prog, use_pallas=False)
+    vals = gen(jnp.asarray(free))  # [n_chunks, B, S]
+    check = build_chunked_check(
+        template, B, n_chunks, use_pallas=False, witness_form="bits"
+    )
+    total, _ = check(vals)
+    assert int(total) == 0
+    # flip one non-free allocated bit in chunk 1, instance 2
+    target_slot = prog.num_slots - 2
+    vbad = vals.at[1, 2, target_slot].set(vals[1, 2, target_slot] ^ 1)
+    total, first = check(vbad)
+    assert int(total) > 0
+    flat = int(first)
+    span = B * template.num_constraints
+    assert span <= flat < 2 * span  # in chunk 1
+    inst_in_chunk = (flat - span) // template.num_constraints
+    assert inst_in_chunk == 2
+    which = which_from_flat(template, flat - span)
+    assert which.startswith("instance 2:")
+
+
+def test_production_step_limbs():
+    def circuit(cs):
+        a = AllocatedNum.alloc(cs.namespace("a"), None)
+        bs = [
+            Boolean.from_bit(AllocatedBit.alloc(cs.namespace(f"b{i}"), None))
+            for i in range(4)
+        ]
+        from bellpepper_tpu.gadgets.multipack import pack_bits
+
+        b = pack_bits(cs.namespace("pb"), bs)
+        x = a
+        for i in range(5):
+            x = x.mul(cs.namespace(f"m{i}"), b)
+            x = x.add(cs.namespace(f"s{i}"), a)
+
+    shape = ShapeCS()
+    circuit(shape)
+    template = shape.finish()
+    tape = TapeCS()
+    circuit(tape)
+    prog = WitnessProgram(tape)
+    assert not prog.is_pure_bits
+
+    n_chunks, B = 2, 4
+    rng = np.random.default_rng(6)
+    n_free = len(prog.free_slots)
+    free = rng.integers(0, 2, size=(n_chunks, B, n_free)).astype(np.uint32)
+    nf = max(len(prog.free_field_slots), 1)
+    ff = np.zeros((n_chunks, B, nf, 16), np.uint32)
+    ff[..., 0] = rng.integers(0, 1 << 16, size=(n_chunks, B, nf))
+
+    step = build_production_step(prog, template, B, use_pallas=False)
+    total, _ = step(jnp.asarray(free), jnp.asarray(ff))
+    assert int(total) == 0
+
+    # Corrupt a witness value via the chunked check path.
+    from bellpepper_tpu.compile.pipeline import build_chunked_witness
+
+    evaluator = prog.build(use_pallas=False)
+    z3s = []
+    for c in range(n_chunks):
+        vals, flimbs = evaluator(jnp.asarray(free[c]), jnp.asarray(ff[c]))
+        z3s.append(prog.z_template_limbs(vals, flimbs, jnp.asarray(ff[c])))
+    z4 = jnp.stack(z3s)
+    check = build_chunked_check(
+        template, B, n_chunks, use_pallas=False, witness_form="limbs"
+    )
+    total, _ = check(z4)
+    assert int(total) == 0
+    z4b = z4.at[0, 1, template.num_inputs + 2, 0].set(12345)
+    total, first = check(z4b)
+    assert int(total) > 0

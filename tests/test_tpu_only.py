@@ -75,3 +75,84 @@ def test_generic_satisfier_pallas_path():
     aux[0] = (aux[0] + 1) % cs.field.p
     zb = sat.z_from_assignments(cs.scalar_inputs(), aux)
     assert sat.which_is_unsatisfied(zb) == "b/squaring constraint"
+
+
+def test_fused_limbs_matvec_matches_host_oracle():
+    """Field-valued templated check on the fused (fold-matrix MXU) path:
+    satisfied batch passes, a corrupted instance fails exactly the rows
+    the host bigint oracle says, other instances stay clean."""
+    import jax.numpy as jnp
+
+    from bellpepper_tpu.backend.matvec import TemplatedSatisfier
+    from bellpepper_tpu.r1cs import ShapeCS
+    from bellpepper_tpu.gadgets.num import AllocatedNum
+
+    # A field-valued template: mul/add/square chain (config-1 shaped).
+    shape = ShapeCS()
+    a = AllocatedNum.alloc(shape.namespace("a"), None)
+    b = AllocatedNum.alloc(shape.namespace("b"), None)
+    x = a
+    for i in range(4):
+        x = x.mul(shape.namespace(f"m{i}"), b)
+        x = x.add(shape.namespace(f"s{i}"), a)
+        x = x.square(shape.namespace(f"q{i}"))
+    template = shape.finish()
+    S = template.num_inputs + template.num_aux
+    p = template.field.p
+
+    B = 128
+    rng = np.random.default_rng(11)
+    # Build satisfying witnesses on the host with python ints.
+    zs = []
+    for _ in range(B):
+        av = int.from_bytes(rng.bytes(31), "little") % p
+        bv = int.from_bytes(rng.bytes(31), "little") % p
+        vals = [1, av, bv]
+        x = av
+        for _i in range(4):
+            x = (x * bv) % p
+            vals.append(x)
+            x = (x + av) % p
+            vals.append(x)
+            x = (x * x) % p
+            vals.append(x)
+        assert len(vals) == S
+        zs.append(vals)
+
+    from bellpepper_tpu.backend.field_jnp import get_backend
+
+    be = get_backend(template.field)
+    z3 = np.stack([be.to_limbs(v) for v in zs])  # [B, S, 16]
+
+    sat = TemplatedSatisfier(template, B, use_pallas=True, witness_form="limbs")
+    # The fused path must actually be selected on TPU.
+    assert sat._check is not None
+    d = jnp.asarray(z3)
+    assert sat.is_satisfied(d)
+
+    # Corrupt one instance's mid-chain value.
+    zbad = list(zs[17])
+    zbad[5] = (zbad[5] + 1) % p
+    z3b = z3.copy()
+    z3b[17] = be.to_limbs(zbad)
+    which = sat.which_is_unsatisfied(jnp.asarray(z3b))
+    assert which is not None and which.startswith("instance 17:"), which
+
+    # Host oracle: exact rows that fail for the corrupted instance.
+    sums = {m: [0] * template.num_constraints for m in "abc"}
+    for m in "abc":
+        mat = getattr(template, m)
+        ct = template.coeff_table
+        for r, c, ci in zip(mat.rows, mat.cols, mat.coeff_ids):
+            sums[m][r] = (sums[m][r] + ct[ci] * zbad[c]) % p
+    host_bad = [
+        r
+        for r in range(template.num_constraints)
+        if (sums["a"][r] * sums["b"][r] - sums["c"][r]) % p
+    ]
+    from bellpepper_tpu.backend.matvec import build_templated_check
+
+    viol = jax.jit(build_templated_check(template, B, True, "limbs"))
+    bad = np.asarray(viol(jnp.asarray(z3b))).reshape(B, template.num_constraints)
+    assert list(np.nonzero(bad[17])[0]) == host_bad
+    assert bad[np.arange(B) != 17].sum() == 0

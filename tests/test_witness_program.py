@@ -157,3 +157,61 @@ def test_sha256_program_small():
     )
     assert prog.n_field_rows == 0  # pure u32 program
     assert len(prog.free_slots) == 512
+
+
+def test_deep_field_chain_uses_scan_and_matches_host():
+    """A 30-level mul/add/square/select/inv chain: the compiled program
+    must fold the field stages into a lax.scan run (compile-time fix for
+    deep chains) and still reproduce the host TestConstraintSystem values
+    bit-exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from bellpepper_tpu import SCALAR, TestConstraintSystem
+    from bellpepper_tpu.compile.tape import TapeCS
+    from bellpepper_tpu.compile.witness_program import SCAN_OPS, WitnessProgram
+    from bellpepper_tpu.gadgets.boolean import AllocatedBit, Boolean
+    from bellpepper_tpu.gadgets.multipack import pack_bits
+    from bellpepper_tpu.gadgets.num import AllocatedNum
+
+    def circuit(cs, bits=None):
+        bs = [
+            Boolean.from_bit(
+                AllocatedBit.alloc(
+                    cs.namespace(f"b{i}"), None if bits is None else bits[i]
+                )
+            )
+            for i in range(16)
+        ]
+        a = pack_bits(cs.namespace("pa"), bs[:8])
+        b = pack_bits(cs.namespace("pb"), bs[8:])
+        x = a
+        for i in range(10):
+            x = x.mul(cs.namespace(f"m{i}"), b)
+            x = x.add(cs.namespace(f"s{i}"), a)
+            x = x.square(cs.namespace(f"q{i}"))
+        return x
+
+    tape = TapeCS()
+    circuit(tape)
+    prog = WitnessProgram(tape)
+    n_scan = sum(1 for st in prog.stages if st.opcode in SCAN_OPS)
+    assert n_scan >= 30  # the chain is scan-eligible
+
+    rng = np.random.default_rng(23)
+    B = 4
+    free = rng.integers(0, 2, size=(B, len(prog.free_slots))).astype(np.uint32)
+    vals, flimbs = prog.run(jnp.asarray(free))
+    z3 = np.asarray(prog.z_template_limbs(vals, flimbs))
+
+    # Host oracle for each instance.
+    for bi in range(B):
+        cs = TestConstraintSystem()
+        circuit(cs, [bool(v) for v in free[bi]])
+        assert cs.is_satisfied()
+        host = [1] + cs.scalar_aux()
+        dev = [
+            sum(int(z3[bi, s, l]) << (16 * l) for l in range(16))
+            for s in range(z3.shape[1])
+        ]
+        assert dev == host
