@@ -140,7 +140,8 @@ class EllMatrix(NamedTuple):
     inv_pos: jnp.ndarray  # int32[R]: global row -> position in bucket order
 
 
-def build_row_sharded_parts(r1cs: R1CS, n_shards: int):
+def build_row_sharded_parts(r1cs: R1CS, n_shards: int,
+                            with_coeff_digits: bool = True):
     """Partition an R1CS along the CONSTRAINT axis into n_shards row
     ranges with a SHARED ELL bucket signature, so a single SPMD program
     (shard_map) can evaluate every shard.
@@ -220,11 +221,18 @@ def build_row_sharded_parts(r1cs: R1CS, n_shards: int):
             slot_off[n] += int(trip[mi]) * int(max_counts[bi])
     totals = {n: slot_off[n] for n in "abc"}
 
+    # The per-slot coefficient-digit planes (cd) cost 128 B/slot — only
+    # the bits fast path reads them; the limbs path gathers from the
+    # (tiny) coefficient table via cids instead.
     parts = {
         n: {
             "cols": np.zeros((n_shards, totals[n]), np.int32),
-            "cd": np.zeros((n_shards, totals[n], 32), np.uint32),
             "cids": np.full((n_shards, totals[n]), zero_id, np.int32),
+            **(
+                {"cd": np.zeros((n_shards, totals[n], 32), np.uint32)}
+                if with_coeff_digits
+                else {}
+            ),
         }
         for n in "abc"
     }
@@ -257,7 +265,8 @@ def build_row_sharded_parts(r1cs: R1CS, n_shards: int):
             within = np.arange(len(rows_s)) - ptr[rows_s]
             target = row_slot0[rows_s] + within
             parts[n]["cols"][d, target] = cols_s
-            parts[n]["cd"][d, target] = coeff_digits[cids_s]
+            if with_coeff_digits:
+                parts[n]["cd"][d, target] = coeff_digits[cids_s]
             parts[n]["cids"][d, target] = cids_s
     meta = {
         "buckets": {n: tuple(buckets[n]) for n in "abc"},
@@ -596,7 +605,11 @@ def build_templated_check(
 
         def matvec_bits_fused(name: str, bits_T):
             az_parts = []
-            bv_all = bits_T[dev[name]["cols"]]  # [total, B]
+            # Barrier: keep XLA from fusing the shared gather into every
+            # kernel operand (compile-time blowup on the remote compiler).
+            bv_all = jax.lax.optimization_barrier(
+                bits_T[dev[name]["cols"]]
+            )  # [total, B]
             for k, start, n_rows, kern, cd_b in fused_mats[name]:
                 bv = bv_all[start : start + n_rows * k].reshape(n_rows, k, batch)
                 az_parts.append(kern(bv, cd_b))  # [16, n_rows, B]
@@ -666,7 +679,10 @@ def build_templated_check(
         def matvec_limbs_fused(name: str, zd_all):
             # zd_all: [S_t, 32, B] witness digits (batch-minor).
             parts = []
-            zv = zd_all[dev[name]["cols"]]  # [total, 32, B] row gather
+            # Barrier: see matvec_bits_fused.
+            zv = jax.lax.optimization_barrier(
+                zd_all[dev[name]["cols"]]
+            )  # [total, B] row gather
             for k, start, n_rows, kern, F in fl_mats[name]:
                 x = zv[start : start + n_rows * k].reshape(
                     n_rows, k * 32, batch
@@ -677,8 +693,10 @@ def build_templated_check(
         def violations_limbs_fused(z3):
             B = z3.shape[0]
             zt = jnp.transpose(z3, (1, 2, 0))  # [S_t, 16, B]
-            zd_all = jnp.stack([zt & 0xFF, (zt >> 8) & 0xFF], axis=2).reshape(
-                zt.shape[0], 32, B
+            zd_all = jax.lax.optimization_barrier(
+                jnp.stack([zt & 0xFF, (zt >> 8) & 0xFF], axis=2).reshape(
+                    zt.shape[0], 32, B
+                )
             )
             az = matvec_limbs_fused("a", zd_all).reshape(16, Rtp * B)
             bz = matvec_limbs_fused("b", zd_all).reshape(16, Rtp * B)

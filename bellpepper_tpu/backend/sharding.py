@@ -234,7 +234,9 @@ class RowShardedSatisfier:
         impl = (
             _PallasAdapter(r1cs.field) if use_pallas else _JnpAdapter(r1cs.field)
         )
-        parts, meta = build_row_sharded_parts(r1cs, n_dev)
+        parts, meta = build_row_sharded_parts(
+            r1cs, n_dev, with_coeff_digits=(witness_form == "bits")
+        )
         self._meta = meta
         rs_padded = meta["rows_padded"]
         buckets = meta["buckets"]
@@ -244,9 +246,8 @@ class RowShardedSatisfier:
         dev = {}
         for name in ("a", "b", "c"):
             dev[name] = {
-                "cols": jax.device_put(parts[name]["cols"], shard_spec),
-                "cd": jax.device_put(parts[name]["cd"], shard_spec),
-                "cids": jax.device_put(parts[name]["cids"], shard_spec),
+                k: jax.device_put(v, shard_spec)
+                for k, v in parts[name].items()
             }
         row_origin = jax.device_put(meta["row_origin"], shard_spec)
 
@@ -298,11 +299,7 @@ class RowShardedSatisfier:
         @jax.jit
         def check(z):
             na, first = check_local(
-                z,
-                {"cols": dev["a"]["cols"], "cd": dev["a"]["cd"], "cids": dev["a"]["cids"]},
-                {"cols": dev["b"]["cols"], "cd": dev["b"]["cd"], "cids": dev["b"]["cids"]},
-                {"cols": dev["c"]["cols"], "cd": dev["c"]["cd"], "cids": dev["c"]["cids"]},
-                row_origin,
+                z, dict(dev["a"]), dict(dev["b"]), dict(dev["c"]), row_origin
             )
             return na[0], first[0]
 

@@ -28,7 +28,10 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "_synthesis.so")
 _SRC = os.path.join(_HERE, "synthesis.cpp")
 
-_OPCODE_NAMES = ["xor", "and", "and_not", "nor", "ch", "maj", "addmany"]
+_OPCODE_NAMES = [
+    "xor", "and", "and_not", "nor", "ch", "maj", "addmany",
+    "fadd", "fmul", "finv", "copy", "pack",
+]
 
 _lib = None
 
@@ -70,6 +73,11 @@ def load_library():
         ("bp_and", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]),
         ("bp_ch", ctypes.c_int64, [ctypes.c_void_p] + [ctypes.c_int64] * 3),
         ("bp_maj", ctypes.c_int64, [ctypes.c_void_p] + [ctypes.c_int64] * 3),
+        ("bp_alloc_num", ctypes.c_int64, [ctypes.c_void_p]),
+        ("bp_num_add", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]),
+        ("bp_num_mul", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]),
+        ("bp_num_square", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int64]),
+        ("bp_num_assert_nonzero", None, [ctypes.c_void_p, ctypes.c_int64]),
         ("bp_multieq_begin", None, [ctypes.c_void_p]),
         ("bp_multieq_end", None, [ctypes.c_void_p]),
         ("bp_num_inputs", ctypes.c_int64, [ctypes.c_void_p]),
@@ -87,6 +95,8 @@ def load_library():
     u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
     lib.bp_addmany.restype = None
     lib.bp_addmany.argtypes = [ctypes.c_void_p, i64p, ctypes.c_int, i64p]
+    lib.bp_pack_bits.restype = ctypes.c_int64
+    lib.bp_pack_bits.argtypes = [ctypes.c_void_p, i64p, ctypes.c_int]
     lib.bp_sha256_compression.restype = None
     lib.bp_sha256_compression.argtypes = [ctypes.c_void_p, i64p, i64p, i64p]
     lib.bp_sha256_iv.restype = None
@@ -163,6 +173,30 @@ class NativeBuilder:
 
     def maj(self, a: int, b: int, c: int) -> int:
         return self._lib.bp_maj(self._b, a, b, c)
+
+    # -- field gadget API (AllocatedNum family) ------------------------------
+    def alloc_num(self) -> int:
+        """Free field-valued slot; returns its SLOTCODE (not a view)."""
+        sc = self._lib.bp_alloc_num(self._b)
+        self._free_order.append(sc)
+        return sc
+
+    def num_add(self, sa: int, sb: int) -> int:
+        return self._lib.bp_num_add(self._b, sa, sb)
+
+    def num_mul(self, sa: int, sb: int) -> int:
+        return self._lib.bp_num_mul(self._b, sa, sb)
+
+    def num_square(self, sa: int) -> int:
+        return self._lib.bp_num_square(self._b, sa)
+
+    def num_assert_nonzero(self, sa: int) -> None:
+        self._lib.bp_num_assert_nonzero(self._b, sa)
+
+    def pack_bits(self, views: Sequence[int]) -> int:
+        """Pack Boolean views (up to field CAPACITY) into one num slot."""
+        vs = np.asarray(list(views)[: self.field.CAPACITY], np.int64)
+        return self._lib.bp_pack_bits(self._b, vs, len(vs))
 
     def multieq_begin(self):
         self._lib.bp_multieq_begin(self._b)
@@ -278,7 +312,7 @@ class NativeBuilder:
                 for _w in range(n_words):
                     args.append([self._view(int(v)) for v in flat[i : i + 32]])
                     i += 32
-            elif opcode in ("ch", "maj"):
+            elif opcode in ("ch", "maj", "pack"):
                 args = [self._view(int(v)) for v in flat[i : i + marker]]
                 i += marker
             else:  # bit ops: slots

@@ -183,6 +183,11 @@ enum OpCode {
   OP_CH = 4,
   OP_MAJ = 5,
   OP_ADDMANY = 6,
+  OP_FADD = 7,
+  OP_FMUL = 8,
+  OP_FINV = 9,
+  OP_COPY = 10,
+  OP_PACK = 11,
 };
 
 struct Builder {
@@ -779,6 +784,100 @@ void blake2s_compression(Builder& B, Word h[8], const Word m[16], uint64_t t,
   }
 }
 
+// ---------------------------------------------------------------------
+// AllocatedNum family (field-valued gadgets) — constraint formulas and
+// tape ops mirror gadgets/num.py + multipack.py (and therefore
+// num.rs:279-403, multipack.rs:76-105) exactly, so config-1-style field
+// circuits synthesize natively with bit-exact artifact parity.
+// ---------------------------------------------------------------------
+
+// A free field-valued aux slot (no constraint, no tape op; the witness
+// value arrives through the free-field inputs of the witness program).
+int64_t alloc_num(Builder& B) { return slotcode_aux(B.alloc_aux()); }
+
+// (a + b) * 1 = c   (num.rs:279-309)
+int64_t num_add(Builder& B, int64_t sa, int64_t sb) {
+  int64_t so = slotcode_aux(B.alloc_aux());
+  B.tape_bitop(OP_FADD, so, sa, sb);
+  LC a, b, c;
+  a.add(sa, u256_one(), B.p);
+  a.add(sb, u256_one(), B.p);
+  b.add(slotcode_input(0), u256_one(), B.p);
+  c.add(so, u256_one(), B.p);
+  B.enforce(a, b, c);
+  return so;
+}
+
+// a * b = c   (num.rs:311-341)
+int64_t num_mul(Builder& B, int64_t sa, int64_t sb) {
+  int64_t so = slotcode_aux(B.alloc_aux());
+  B.tape_bitop(OP_FMUL, so, sa, sb);
+  LC a, b, c;
+  a.add(sa, u256_one(), B.p);
+  b.add(sb, u256_one(), B.p);
+  c.add(so, u256_one(), B.p);
+  B.enforce(a, b, c);
+  return so;
+}
+
+// a * a = c   (num.rs:343-373); tape op is fmul with duplicated operand.
+int64_t num_square(Builder& B, int64_t sa) {
+  int64_t so = slotcode_aux(B.alloc_aux());
+  B.tape_bitop(OP_FMUL, so, sa, sa);
+  LC a, b, c;
+  a.add(sa, u256_one(), B.p);
+  b.add(sa, u256_one(), B.p);
+  c.add(so, u256_one(), B.p);
+  B.enforce(a, b, c);
+  return so;
+}
+
+// a * inv = 1 with an ephemeral inverse witness (num.rs:375-403).
+void num_assert_nonzero(Builder& B, int64_t sa) {
+  int64_t si = slotcode_aux(B.alloc_aux());
+  B.tape.push_back(OP_FINV);
+  B.tape.push_back(1);
+  B.tape.push_back(si);
+  B.tape.push_back(1);
+  B.tape.push_back(sa);
+  LC a, b, c;
+  a.add(sa, u256_one(), B.p);
+  b.add(si, u256_one(), B.p);
+  c.add(slotcode_input(0), u256_one(), B.p);
+  B.enforce(a, b, c);
+}
+
+// (sum 2^i * bit_i) * 1 = num   (multipack.rs:76-105). Bits are Boolean
+// VIEWS with constant folding in the LC projection (boolean.rs:437-455):
+// constant true adds coeff*one, Is(v) adds coeff*v, Not(v) adds
+// coeff*one - coeff*v. Caller slices to field capacity.
+int64_t pack_bits(Builder& B, const int64_t* views, int n) {
+  int64_t so = slotcode_aux(B.alloc_aux());
+  B.tape.push_back(OP_PACK);
+  B.tape.push_back(1);
+  B.tape.push_back(so);
+  B.tape.push_back(n);
+  for (int i = 0; i < n; i++) B.tape.push_back(views[i]);
+  LC a, b, c;
+  U256 coeff = u256_one();
+  for (int i = 0; i < n; i++) {
+    View v = views[i];
+    if (view_is_const(v)) {
+      if (view_const_val(v)) a.add(slotcode_input(0), coeff, B.p);
+    } else if (view_neg(v)) {
+      a.add(slotcode_input(0), coeff, B.p);
+      a.add(view_slot(v), negmod(coeff, B.p), B.p);
+    } else {
+      a.add(view_slot(v), coeff, B.p);
+    }
+    coeff = addmod(coeff, coeff, B.p);
+  }
+  b.add(slotcode_input(0), u256_one(), B.p);
+  c.add(so, u256_one(), B.p);
+  B.enforce(a, b, c);
+  return so;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------
@@ -890,6 +989,23 @@ int64_t bp_tape_len(void* b) { return (int64_t)((Builder*)b)->tape.size(); }
 void bp_get_tape(void* b, int64_t* out) {
   Builder& B = *(Builder*)b;
   memcpy(out, B.tape.data(), B.tape.size() * 8);
+}
+
+int64_t bp_alloc_num(void* b) { return alloc_num(*(Builder*)b); }
+int64_t bp_num_add(void* b, int64_t sa, int64_t sb) {
+  return num_add(*(Builder*)b, sa, sb);
+}
+int64_t bp_num_mul(void* b, int64_t sa, int64_t sb) {
+  return num_mul(*(Builder*)b, sa, sb);
+}
+int64_t bp_num_square(void* b, int64_t sa) {
+  return num_square(*(Builder*)b, sa);
+}
+void bp_num_assert_nonzero(void* b, int64_t sa) {
+  num_assert_nonzero(*(Builder*)b, sa);
+}
+int64_t bp_pack_bits(void* b, const int64_t* views, int n) {
+  return pack_bits(*(Builder*)b, views, n);
 }
 
 }  // extern "C"

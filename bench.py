@@ -1,17 +1,13 @@
 #!/usr/bin/env python
 """bellpepper_tpu headline benchmark.
 
-Flagship configuration (BASELINE.json): a batch of SHA-256 compression
-circuits totalling ~2^20 constraints. Measures the full production path:
-
-  1. witness generation on device (compiled witness program — the
-     TPU-native SizedWitness), and
-  2. R1CS satisfiability evaluation on device (ELL-bucketed sparse
-     pipeline over Pallas field kernels),
-
-and reports constraint-evaluations/s (amortized over repeated checks, one
-scalar sync at the end — the tunnel's ~30 ms per-sync latency is reported
-separately).
+Flagship configuration (BASELINE.json): batches of SHA-256 compression
+circuits. Measures the FULL production path in one dispatch — free input
+bits → device witness generation → templated R1CS satisfiability — as a
+single jitted program that lax.scans over instance chunks
+(compile/pipeline.py). One dispatch per step amortizes the ~35 ms
+tunnel fixed cost; the check itself runs on the fused Pallas matvec
+kernels (mask + MXU row-sum + in-kernel digit reduction).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -38,6 +34,7 @@ def main():
     import jax.numpy as jnp
 
     from bellpepper_tpu.backend.matvec import TemplatedSatisfier
+    from bellpepper_tpu.compile.pipeline import build_production_step
     from bellpepper_tpu.compile.witness_program import WitnessProgram
     from bellpepper_tpu.native import NativeBuilder
 
@@ -54,69 +51,62 @@ def main():
     t_synth = time.time() - t0
     assert prog.is_pure_bits
 
-    # Work in chunks of 128 instances (amortizes the per-dispatch cost;
-    # full-batch intermediates would exceed v5e HBM). The 2^20-constraint
-    # figure of BASELINE.json corresponds to ~39 blocks; throughput is
-    # measured over 8 chunks (27M constraints) for stable numbers.
+    # One production step = 8 chunks x 128 instances (27M constraints),
+    # all inside a single jitted lax.scan.
     B = 128
     n_chunks = 8
     total_constraints = n_chunks * B * template.num_constraints
-
-    sat = TemplatedSatisfier(template, B, witness_form="bits")
-
     free = jnp.asarray(
-        rng.integers(0, 2, size=(n_chunks * B, 512)).astype(np.uint32)
+        rng.integers(0, 2, size=(n_chunks, B, 512)).astype(np.uint32)
     )
 
-    # --- witness generation (device) ---
-    v0, _f = prog.run(free[:B])  # compile
-    _ = int(jnp.sum(v0[0, :4]))
-    t0 = time.time()
-    chunks = []
-    for i in range(n_chunks):
-        v, _f = prog.run(free[i * B : (i + 1) * B])
-        chunks.append(v)
-    _ = int(jnp.sum(chunks[-1][0, :4]))
-    t_wit = time.time() - t0
-    witness_elems_per_s = (n_chunks * B * prog.num_slots) / t_wit
-    # Witness time for a 2^20-constraint circuit, derived from the
-    # measured per-block rate (a dedicated 39-block run would recompile
-    # for the new shape and time the compiler instead).
-    b_2e20 = max(1, (1 << 20) // template.num_constraints)
-    t_wit_2e20 = t_wit / (n_chunks * B) * b_2e20
+    step = build_production_step(prog, template, B)
+    total, _first = step(free)  # compile + first run
+    ok_first = int(total) == 0
 
-    # --- satisfiability (device) ---
-    ok_first = sat.is_satisfied(chunks[0])
-    ab, _ = sat._check(chunks[0])
-    _ = bool(ab)
+    reps = 4
     t0 = time.time()
     acc = None
-    for v in chunks:
-        ab, _first = sat._check(v)
-        acc = ab if acc is None else (acc | ab)
-    any_bad = bool(acc)
-    t_check = time.time() - t0
-    throughput = total_constraints / t_check
+    for _ in range(reps):
+        total, _f = step(free)
+        acc = total if acc is None else acc + total
+    any_bad = int(acc) != 0
+    t_step = (time.time() - t0) / reps
+    throughput = total_constraints / t_step
 
-    # corruption probe: flip one witness bit → must detect
-    v_bad = chunks[0].at[B // 2, 600].set(chunks[0][B // 2, 600] ^ 1)
+    # --- witness generation rate (device, chunked) ---
+    v0, _f0 = prog.run(free[0])
+    _ = int(jnp.sum(v0[0, :4]))
+    t0 = time.time()
+    v0, _f0 = prog.run(free[0])
+    _ = int(jnp.sum(v0[0, :4]))
+    t_wit = time.time() - t0
+    witness_elems_per_s = (B * prog.num_slots) / t_wit
+    b_2e20 = max(1, (1 << 20) // template.num_constraints)
+    t_wit_2e20 = t_wit / B * b_2e20
+
+    # --- corruption probe: flip one witness bit → must detect ---
+    sat = TemplatedSatisfier(template, B, witness_form="bits")
+    v_bad = v0.at[B // 2, 600].set(v0[B // 2, 600] ^ 1)
     detected = not sat.is_satisfied(v_bad)
+    check_ok = sat.is_satisfied(v0)
 
     result = {
-        "metric": "sha256 constraint-evaluations/s/chip",
+        "metric": "sha256 witness+check constraint-evaluations/s/chip",
         "value": round(throughput, 1),
         "unit": "constraints/s",
         "vs_baseline": round(throughput / 125e6, 4),
         "detail": {
             "device": str(jax.devices()[0]),
-            "constraints": total_constraints,
-            "chunk": B,
+            "constraints_per_step": total_constraints,
+            "chunks": n_chunks,
+            "chunk_batch": B,
             "template_constraints": template.num_constraints,
-            "satisfied": bool(ok_first) and not any_bad,
+            "satisfied": ok_first and not any_bad and check_ok,
             "corruption_detected": bool(detected),
+            "step_s": round(t_step, 4),
             "witness_gen_2e20_s": round(t_wit_2e20, 4),
             "witness_elements_per_s": round(witness_elems_per_s, 1),
-            "check_s": round(t_check, 4),
             "host_synthesis_s": round(t_synth, 2),
         },
     }

@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""BASELINE configs 1-3:
+"""BASELINE configs 1-3, measured on the one-dispatch production pipeline
+(witness generation + satisfiability inside a single jitted lax.scan over
+instance chunks — compile/pipeline.py):
 
-  1. AllocatedNum mul/add circuit: synthesize + witness + is_satisfied
-     (the CPU-runnable reference config) — generic limbs path.
-  2. Boolean/UInt32 bitwise circuit (xor, rotr, addmany) with enforced
-     packing — templated bits path.
-  3. multipack + multieq batched equality circuit at 2^16 constraints.
+  1. AllocatedNum mul/add circuit — fused-limbs Pallas path.
+  2. Boolean/UInt32 bitwise circuit (xor, rotr, addmany) — fused-bits path.
+  3. multipack + multieq batched equality circuit at ~2^16 constraints
+     per chunk.
 
 Prints one JSON line per config."""
 
@@ -14,37 +15,55 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import random
 import time
 
 import numpy as np
 
 
-def bench_loop(check, arg, n=10):
-    ab, _ = check(arg)
-    _ = bool(ab)
+def _measure_step(step, free, reps=6):
+    total, _ = step(free)  # compile + first
+    ok = int(total) == 0
     t0 = time.time()
     acc = None
-    for _i in range(n):
-        ab, _f = check(arg)
-        acc = ab if acc is None else (acc | ab)
-    bad = bool(acc)
-    return (time.time() - t0) / n, bad
+    for _ in range(reps):
+        total, _f = step(free)
+        acc = total if acc is None else acc + total
+    bad = int(acc)
+    return (time.time() - t0) / reps, ok and bad == 0
+
+
+def _emit(name, template, B, n_chunks, dt, ok, t_synth):
+    total = n_chunks * B * template.num_constraints
+    print(
+        json.dumps(
+            {
+                "metric": name,
+                "value": round(total / dt, 1),
+                "unit": "constraints/s",
+                "detail": {
+                    "constraints_per_step": total,
+                    "chunk_batch": B,
+                    "chunks": n_chunks,
+                    "satisfied": ok,
+                    "step_s": round(dt, 4),
+                    "synthesis_s": round(t_synth, 3),
+                },
+            }
+        )
+    )
+    assert ok
 
 
 def config1():
+    import jax
     import jax.numpy as jnp
 
-    from bellpepper_tpu import WitnessCS
-    from bellpepper_tpu.backend.matvec import TemplatedSatisfier
+    from bellpepper_tpu.compile.pipeline import build_production_step
     from bellpepper_tpu.compile.tape import TapeCS
     from bellpepper_tpu.compile.witness_program import WitnessProgram
     from bellpepper_tpu.gadgets.boolean import AllocatedBit, Boolean
     from bellpepper_tpu.gadgets.multipack import pack_bits
-    from bellpepper_tpu.gadgets.num import AllocatedNum
     from bellpepper_tpu.r1cs import ShapeCS
-
-    rng = random.Random(5)
 
     def circuit(cs, bits=None):
         # field inputs enter as packed bits so the witness program can
@@ -74,48 +93,27 @@ def config1():
     prog = WitnessProgram(tape)
     t_synth = time.time() - t0
 
-    B = 512
-    sat = TemplatedSatisfier(template, B, witness_form="limbs")
-    free = np.random.default_rng(5).integers(0, 2, size=(B, 128)).astype(np.uint32)
-    free_d = jnp.asarray(free)
-    # Warm (deep sequential field-op chains compile slowly on the remote
-    # compiler — a known limitation recorded in BASELINE.md), then measure.
-    vals, flimbs = prog.run(free_d)
-    z3 = prog.z_template_limbs(vals, flimbs)
-    _ = int(jnp.sum(z3[0, 0, :1]))
-    t0 = time.time()
-    vals, flimbs = prog.run(free_d)
-    z3 = prog.z_template_limbs(vals, flimbs)
-    _ = int(jnp.sum(z3[0, 0, :1]))
-    t_wit = time.time() - t0
-    t_check, bad = bench_loop(sat._check, z3)
-    total = B * template.num_constraints
-    print(
-        json.dumps(
-            {
-                "metric": "config1 AllocatedNum mul/add constraint-evals/s",
-                "value": round(total / t_check, 1),
-                "unit": "constraints/s",
-                "detail": {
-                    "constraints": total,
-                    "satisfied": not bad,
-                    "witness_s": round(t_wit, 4),
-                    "synthesis_s": round(t_synth, 3),
-                },
-            }
-        )
+    B, n_chunks = 2048, 8
+    step = build_production_step(prog, template, B)
+    free = jnp.asarray(
+        np.random.default_rng(5)
+        .integers(0, 2, size=(n_chunks, B, 128))
+        .astype(np.uint32)
     )
-    assert not bad
+    dt, ok = _measure_step(step, free)
+    _emit(
+        "config1 AllocatedNum mul/add constraint-evals/s",
+        template, B, n_chunks, dt, ok, t_synth,
+    )
 
 
 def config2():
     import jax.numpy as jnp
 
-    from bellpepper_tpu.backend.matvec import TemplatedSatisfier
+    from bellpepper_tpu.compile.pipeline import build_production_step
     from bellpepper_tpu.compile.tape import TapeCS
     from bellpepper_tpu.compile.witness_program import WitnessProgram
     from bellpepper_tpu.gadgets.multieq import MultiEq
-    from bellpepper_tpu.gadgets.multipack import pack_into_inputs
     from bellpepper_tpu.gadgets.uint32 import UInt32
     from bellpepper_tpu.r1cs import ShapeCS
 
@@ -137,48 +135,32 @@ def config2():
     t_synth = time.time() - t0
     assert prog.is_pure_bits
 
-    B = 2048
-    sat = TemplatedSatisfier(template, B, witness_form="bits")
-    free = np.random.default_rng(6).integers(
-        0, 2, size=(B, len(prog.free_slots))
-    ).astype(np.uint32)
-    t0 = time.time()
-    vals, _ = prog.run(jnp.asarray(free))
-    _ = int(jnp.sum(vals[0, :4]))
-    t_wit = time.time() - t0
-    t_check, bad = bench_loop(sat._check, vals)
-    total = B * template.num_constraints
-    print(
-        json.dumps(
-            {
-                "metric": "config2 UInt32 bitwise constraint-evals/s",
-                "value": round(total / t_check, 1),
-                "unit": "constraints/s",
-                "detail": {
-                    "constraints": total,
-                    "satisfied": not bad,
-                    "witness_s": round(t_wit, 4),
-                    "synthesis_s": round(t_synth, 3),
-                },
-            }
-        )
+    B, n_chunks = 2048, 8
+    step = build_production_step(prog, template, B)
+    free = jnp.asarray(
+        np.random.default_rng(6)
+        .integers(0, 2, size=(n_chunks, B, len(prog.free_slots)))
+        .astype(np.uint32)
     )
-    assert not bad
+    dt, ok = _measure_step(step, free)
+    _emit(
+        "config2 UInt32 bitwise constraint-evals/s",
+        template, B, n_chunks, dt, ok, t_synth,
+    )
 
 
 def config3():
     import jax.numpy as jnp
 
-    from bellpepper_tpu.backend.matvec import TemplatedSatisfier
+    from bellpepper_tpu.compile.pipeline import build_production_step
     from bellpepper_tpu.compile.tape import TapeCS
     from bellpepper_tpu.compile.witness_program import WitnessProgram
-    from bellpepper_tpu.gadgets.boolean import AllocatedBit, Boolean
     from bellpepper_tpu.gadgets.multieq import MultiEq
     from bellpepper_tpu.gadgets.uint32 import UInt32
     from bellpepper_tpu.r1cs import ShapeCS
 
-    # multieq-batched equalities + packing; template sized so the batch
-    # reaches 2^16 constraints.
+    # multieq-batched equalities + packing; chunk batch sized so each
+    # chunk is ~2^16 constraints.
     def circuit(cs):
         words = [UInt32.alloc(cs.namespace(f"w{i}"), None) for i in range(4)]
         with MultiEq(cs) as mcs:
@@ -195,29 +177,19 @@ def config3():
     prog = WitnessProgram(tape)
     t_synth = time.time() - t0
 
-    B = max(1, (1 << 16) // template.num_constraints)
-    sat = TemplatedSatisfier(template, B, witness_form="bits")
-    free = np.random.default_rng(7).integers(
-        0, 2, size=(B, len(prog.free_slots))
-    ).astype(np.uint32)
-    vals, _ = prog.run(jnp.asarray(free))
-    t_check, bad = bench_loop(sat._check, vals)
-    total = B * template.num_constraints
-    print(
-        json.dumps(
-            {
-                "metric": "config3 multipack/multieq constraint-evals/s",
-                "value": round(total / t_check, 1),
-                "unit": "constraints/s",
-                "detail": {
-                    "constraints": total,
-                    "satisfied": not bad,
-                    "synthesis_s": round(t_synth, 3),
-                },
-            }
-        )
+    B = max(128, ((1 << 16) // template.num_constraints) // 128 * 128)
+    n_chunks = 16
+    step = build_production_step(prog, template, B)
+    free = jnp.asarray(
+        np.random.default_rng(7)
+        .integers(0, 2, size=(n_chunks, B, len(prog.free_slots)))
+        .astype(np.uint32)
     )
-    assert not bad
+    dt, ok = _measure_step(step, free)
+    _emit(
+        "config3 multipack/multieq constraint-evals/s",
+        template, B, n_chunks, dt, ok, t_synth,
+    )
 
 
 if __name__ == "__main__":

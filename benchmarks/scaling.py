@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Scaling-efficiency harness (SURVEY §7 step 7).
+
+Measures the sharded witness+check production step at 1/2/4/... devices
+and reports efficiency = throughput(N) / (N · throughput(1)). On this
+image it runs on a virtual CPU mesh (set by default below) — the harness
+and the SPMD program are identical on a real pod slice, where the same
+mesh spans chips (ICI) and, after utils.multihost.initialize_multihost,
+hosts (DCN).
+
+Usage:
+  python benchmarks/scaling.py [max_devices] [--tpu]
+
+Prints one JSON line with the efficiency table."""
+
+import json
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+
+
+def main():
+    use_tpu = "--tpu" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+
+    import jax
+
+    if not use_tpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from bellpepper_tpu.compile.tape import TapeCS
+    from bellpepper_tpu.compile.witness_program import WitnessProgram
+    from bellpepper_tpu.gadgets.multieq import MultiEq
+    from bellpepper_tpu.gadgets.uint32 import UInt32
+    from bellpepper_tpu.r1cs import ShapeCS
+    from bellpepper_tpu.utils.multihost import (
+        global_mesh,
+        initialize_multihost,
+        make_global_batch,
+        multihost_verdict_step,
+    )
+
+    initialize_multihost()  # no-op single-process; joins a pod when launched distributed
+    max_dev = int(args[0]) if args else len(jax.devices())
+
+    # Workload: UInt32 mix circuit, batch scaled with the device count so
+    # per-device work is constant (weak scaling, the production regime).
+    def circuit(cs):
+        ops = [UInt32.alloc(cs.namespace(f"op {i}"), None) for i in range(8)]
+        with MultiEq(cs) as mcs:
+            x = ops[0]
+            for i in range(1, 8):
+                x = x.xor(mcs.namespace(f"x{i}"), ops[i].rotr(5 * i))
+                x = UInt32.addmany(mcs.namespace(f"s{i}"), [x, ops[i - 1].shr(3)])
+
+    shape = ShapeCS()
+    circuit(shape)
+    template = shape.finish()
+    tape = TapeCS()
+    circuit(tape)
+    prog = WitnessProgram(tape)
+
+    per_dev_b = 256
+    rng = np.random.default_rng(9)
+    rows = []
+    base = None
+    n = 1
+    while n <= max_dev:
+        mesh = global_mesh(devices=jax.devices()[:n])
+        B = per_dev_b * n
+        step, in_sharding = multihost_verdict_step(prog, template, B, mesh)
+        free_local = rng.integers(
+            0, 2, size=(B, len(prog.free_slots))
+        ).astype(np.uint32)
+        free = make_global_batch(free_local, mesh)
+        n_bad, _z = step(free)  # compile + first run
+        assert int(n_bad) == 0
+        reps = 10
+        t0 = time.time()
+        acc = None
+        for _ in range(reps):
+            nb, _z = step(free)
+            acc = nb if acc is None else acc + nb
+        assert int(acc) == 0
+        dt = (time.time() - t0) / reps
+        thr = B * template.num_constraints / dt
+        if base is None:
+            base = thr
+        rows.append(
+            {
+                "devices": n,
+                "constraints_per_s": round(thr, 1),
+                "efficiency_pct": round(100 * thr / (base * n), 1),
+            }
+        )
+        n *= 2
+
+    print(
+        json.dumps(
+            {
+                "metric": "weak-scaling efficiency (sharded witness+check)",
+                "value": rows[-1]["efficiency_pct"],
+                "unit": "%",
+                "detail": {
+                    "platform": jax.default_backend(),
+                    "template_constraints": template.num_constraints,
+                    "per_device_batch": per_dev_b,
+                    "table": rows,
+                    "note": (
+                        "virtual CPU mesh: all N shards timeshare one "
+                        "physical CPU, so weak-scaling efficiency here "
+                        "measures SPMD-program overhead, not hardware "
+                        "scaling; on a pod slice each mesh device is a "
+                        "real chip"
+                        if jax.default_backend() == "cpu"
+                        else "real device mesh"
+                    ),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

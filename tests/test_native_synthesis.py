@@ -155,3 +155,77 @@ def test_native_sha256_speed():
     # Generous bound (runs ~0.1s alone) to stay robust when the suite
     # shares the machine with JAX compiles.
     assert t_native < 10.0, f"native synthesis too slow: {t_native:.2f}s"
+
+
+def test_native_field_ops_match():
+    """AllocatedNum family: native synthesis must produce the same R1CS
+    and a working witness tape for a config-1-shaped field circuit
+    (pack bits -> mul/add/square chain -> assert_nonzero)."""
+    import jax.numpy as jnp
+
+    from bellpepper_tpu.gadgets.multipack import pack_bits
+    from bellpepper_tpu.gadgets.num import AllocatedNum
+
+    n_bits = 16
+
+    # native
+    nb = NativeBuilder()
+    bits = [nb.alloc_bit() for _ in range(2 * n_bits)]
+    a = nb.pack_bits(bits[:n_bits])
+    b = nb.pack_bits(bits[n_bits:])
+    x = a
+    for _ in range(6):
+        x = nb.num_mul(x, b)
+        x = nb.num_add(x, a)
+        x = nb.num_square(x)
+    nb.num_assert_nonzero(x)
+    r_native, tape = nb.finish()
+
+    # python
+    def circuit(cs, vals=None):
+        bs = [
+            Boolean.from_bit(
+                AllocatedBit.alloc(
+                    cs.namespace(f"b{i}"), None if vals is None else vals[i]
+                )
+            )
+            for i in range(2 * n_bits)
+        ]
+        a = pack_bits(cs.namespace("pa"), bs[:n_bits])
+        b = pack_bits(cs.namespace("pb"), bs[n_bits:])
+        x = a
+        for i in range(6):
+            x = x.mul(cs.namespace(f"m{i}"), b)
+            x = x.add(cs.namespace(f"s{i}"), a)
+            x = x.square(cs.namespace(f"q{i}"))
+        x.assert_nonzero(cs.namespace("nz"))
+
+    cs = ShapeCS()
+    circuit(cs)
+    r_python = cs.finish()
+    assert_r1cs_equal(r_native, r_python)
+
+    # native tape drives the witness program; result satisfies the R1CS
+    # and matches the Python TestConstraintSystem witness bit-exactly.
+    from bellpepper_tpu import TestConstraintSystem
+    from bellpepper_tpu.backend.matvec import TemplatedSatisfier
+
+    prog = WitnessProgram(tape)
+    rng = np.random.default_rng(12)
+    B = 2
+    free = rng.integers(0, 2, size=(B, len(prog.free_slots))).astype(np.uint32)
+    vals, flimbs = prog.run(jnp.asarray(free))
+    z3 = prog.z_template_limbs(vals, flimbs)
+    sat = TemplatedSatisfier(r_native, B, use_pallas=False, witness_form="limbs")
+    assert sat.is_satisfied(sat.z_from_instances(z3))
+
+    tcs = TestConstraintSystem()
+    circuit(tcs, [bool(v) for v in free[0]])
+    assert tcs.is_satisfied()
+    host = [1] + tcs.scalar_aux()
+    z0 = np.asarray(z3)[0]
+    dev = [
+        sum(int(z0[s, l]) << (16 * l) for l in range(16))
+        for s in range(z0.shape[0])
+    ]
+    assert dev == host
