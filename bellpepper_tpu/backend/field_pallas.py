@@ -322,10 +322,14 @@ def make_fold_matvec_bucket(field: PrimeField, C: int, n_rows: int, B: int,
                 jnp.uint32
             )
         else:
-            # Mosaic lacks direct uint32↔float32 casts; route via int32
-            # (all values < 2^24, so every cast is exact).
-            bv_f = bv.astype(jnp.int32).astype(jnp.float32)
-            cd_f = cd.astype(jnp.int32).astype(jnp.float32)
+            # Mosaic lacks direct uint32↔float32 casts; route via int32.
+            # Inputs are < 256, exact in bfloat16 (8-bit mantissa covers
+            # integers to 256); the MXU multiplies bf16 pairs exactly
+            # (≤ 16 significant bits) and accumulates in fp32, so the
+            # chunk bound is identical to fp32 inputs — at ~4× the fp32
+            # matmul throughput on v5e.
+            bv_f = bv.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+            cd_f = cd.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
             add = jnp.stack(
                 [
                     jnp.dot(

@@ -140,6 +140,47 @@ def build_chunked_witness(prog, use_pallas: Optional[bool] = None):
     return gen
 
 
+class PipelinedSatisfier:
+    """User-facing chunk-scanned satisfiability checker: the
+    TemplatedSatisfier API over [n_chunks, batch, ...] witness buffers,
+    one dispatch per verdict."""
+
+    def __init__(
+        self,
+        template: R1CS,
+        batch: int,
+        n_chunks: int,
+        use_pallas: Optional[bool] = None,
+        witness_form: str = "limbs",
+        config=None,
+    ):
+        if config is not None:
+            if use_pallas is None:
+                use_pallas = config.use_pallas
+            witness_form = witness_form or config.witness_form
+        self.r1cs = template
+        self.batch = batch
+        self.n_chunks = n_chunks
+        self.witness_form = witness_form
+        self._check = build_chunked_check(
+            template, batch, n_chunks, use_pallas, witness_form
+        )
+        self.num_constraints_total = n_chunks * batch * template.num_constraints
+
+    def is_satisfied(self, z4) -> bool:
+        total, _ = self._check(z4)
+        return int(total) == 0
+
+    def which_is_unsatisfied(self, z4) -> Optional[str]:
+        total, first = self._check(z4)
+        if int(total) == 0:
+            return None
+        flat = int(first)
+        span = self.batch * self.r1cs.num_constraints
+        chunk, rest = divmod(flat, span)
+        return f"chunk {chunk}: {which_from_flat(self.r1cs, rest)}"
+
+
 def which_from_flat(template: R1CS, flat: int) -> str:
     """Map a global flat violation index back to 'instance i: path'."""
     inst, row = divmod(int(flat), template.num_constraints)

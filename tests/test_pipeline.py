@@ -124,3 +124,28 @@ def test_production_step_limbs():
     z4b = z4.at[0, 1, template.num_inputs + 2, 0].set(12345)
     total, first = check(z4b)
     assert int(total) > 0
+
+
+def test_pipelined_satisfier_api():
+    template, prog = _bits_template()
+    from bellpepper_tpu.compile.pipeline import (
+        PipelinedSatisfier,
+        build_chunked_witness,
+    )
+
+    n_chunks, B = 2, 4
+    rng = np.random.default_rng(8)
+    free = rng.integers(
+        0, 2, size=(n_chunks, B, len(prog.free_slots))
+    ).astype(np.uint32)
+    gen = build_chunked_witness(prog, use_pallas=False)
+    vals = gen(jnp.asarray(free))
+    sat = PipelinedSatisfier(
+        template, B, n_chunks, use_pallas=False, witness_form="bits"
+    )
+    assert sat.is_satisfied(vals)
+    assert sat.which_is_unsatisfied(vals) is None
+    target = prog.num_slots - 2
+    vbad = vals.at[1, 3, target].set(vals[1, 3, target] ^ 1)
+    which = sat.which_is_unsatisfied(vbad)
+    assert which is not None and which.startswith("chunk 1: instance 3:")
