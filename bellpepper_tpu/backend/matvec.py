@@ -17,6 +17,7 @@ row (MultiEq packs at most CAPACITY bits ≈ a few hundred terms)."""
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -34,9 +35,20 @@ class DeviceMatrix(NamedTuple):
     coeff_ids: jnp.ndarray  # int32[E]
 
 
-class DeviceR1CS(NamedTuple):
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("a", "b", "c", "coeff_limbs"),
+    meta_fields=("num_constraints", "num_inputs", "num_aux"),
+)
+@dataclass(frozen=True)
+class DeviceR1CS:
     """R1CS resident on device: three COO matrices + the coefficient table
-    as limb planes."""
+    as limb planes.
+
+    Registered as a pytree with the sizes as STATIC metadata, so it can be
+    passed as a `jit` ARGUMENT — closing over multi-hundred-MB index
+    arrays embeds them as HLO literals, which overflows the remote-compile
+    transport for 2^24-row systems (and bloats the executable anywhere)."""
 
     a: DeviceMatrix
     b: DeviceMatrix
@@ -317,16 +329,17 @@ class Satisfier:
         else:
             self.device = DeviceR1CS.from_r1cs(r1cs)
             be = self.backend
-            d = self.device
 
             @jax.jit
-            def check(z):
+            def check(z, d):
                 bad = violation_mask(be, d, z)
                 any_bad = jnp.any(bad)
                 first = jnp.argmax(bad)  # 0 when none; gated by any_bad
                 return any_bad, first
 
-            self._check = check
+            # The R1CS rides as an ARGUMENT (device buffers), not a
+            # closure (HLO literals) — see DeviceR1CS docstring.
+            self._check = lambda z: check(z, self.device)
 
     def z_from_assignments(self, inputs, aux) -> jnp.ndarray:
         return assemble_z(self.backend, inputs, aux)

@@ -297,13 +297,15 @@ class RowShardedSatisfier:
             return n_bad[None], first[None]
 
         @jax.jit
-        def check(z):
-            na, first = check_local(
-                z, dict(dev["a"]), dict(dev["b"]), dict(dev["c"]), row_origin
-            )
+        def check(z, a_l, b_l, c_l, origin):
+            na, first = check_local(z, a_l, b_l, c_l, origin)
             return na[0], first[0]
 
-        self._check = check
+        # Pass the sharded layout as ARGUMENTS — closing over the index
+        # arrays embeds them as HLO literals, which overflows the
+        # remote-compile transport at 2^24 rows (hundreds of MB).
+        parts_args = (dict(dev["a"]), dict(dev["b"]), dict(dev["c"]), row_origin)
+        self._check = lambda z: check(z, *parts_args)
         self.backend = be
 
     def z_from_assignments(self, inputs, aux):

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..backend.matvec import build_templated_check
 from ..r1cs import R1CS
+from .tape import V_CONST, V_VAR
 
 _SENTINEL = jnp.uint32(0xFFFFFFFF)
 
@@ -138,6 +139,111 @@ def build_chunked_witness(prog, use_pallas: Optional[bool] = None):
         return out
 
     return gen
+
+
+def _carry_extractor(carry_views):
+    """Compile a list of tape views (kind, slot|const, neg) — e.g. a
+    digest returned by NativeBuilder.sha256_compression, decoded with
+    NativeBuilder.view — into vals[B, S] → next-state[B, n_carry]."""
+    kinds = np.array([k for (k, _s, _n) in carry_views])
+    raw = np.array([s for (_k, s, _n) in carry_views])
+    negs_l = np.array([n for (_k, _s, n) in carry_views])
+    isvar = kinds == V_VAR
+    slots = jnp.asarray(np.where(isvar, raw, 0).astype(np.int32))
+    negs = jnp.asarray(np.where(isvar, negs_l, 0).astype(np.uint32))
+    cvals = jnp.asarray(np.where(kinds == V_CONST, raw, 0).astype(np.uint32))
+    mask = jnp.asarray(isvar)
+
+    def extract(vals):
+        return jnp.where(mask, vals[:, slots] ^ negs, cvals)
+
+    return extract
+
+
+def build_chained_witness(prog, carry_views, use_pallas: Optional[bool] = None):
+    """Device-side CHAINED witness generation: instance t+1's first
+    n_carry free inputs are computed from instance t's witness (e.g. a
+    hash chain, where the digest of block t is the IV of block t+1).
+
+    Template contract: the first len(carry_views) free slots of `prog`
+    are the carry-in bits (allocate the state bits before the per-step
+    message bits); carry_views (tape-view triples) say where each
+    carry-out bit lives in the step's witness.
+
+    Returns gen(init_state[B, n_carry], msgs[T, B, n_msg]) →
+    (vals[T, B, S], final_state[B, n_carry]) — B independent chains of
+    length T, scanned on device in one dispatch.
+
+    This is the sequential composition the reference can only express by
+    re-synthesising a monolithic T-block circuit (sha256.rs:54-76 folds
+    blocks at synthesis time); here one compression template is compiled
+    once and the chain is a `lax.scan` data dependency."""
+    assert prog.is_pure_bits, "chained pipelines support bit templates"
+    evaluator = prog.build(use_pallas)
+    extract = _carry_extractor(carry_views)
+    n_carry = len(carry_views)
+    n_free = len(prog.free_slots)
+    n_free_field = max(len(prog.free_field_slots), 1)
+
+    @jax.jit
+    def gen(init_state, msgs):
+        assert init_state.shape[-1] == n_carry
+        assert msgs.shape[-1] == n_free - n_carry
+        B = init_state.shape[0]
+        ffz = jnp.zeros((B, n_free_field, 16), jnp.uint32)
+
+        def body(carry, msg):
+            free = jnp.concatenate([carry, msg], axis=-1)
+            vals, _fl = evaluator(free, ffz)
+            return extract(vals), vals
+
+        final, vals_all = jax.lax.scan(body, init_state, msgs)
+        return vals_all, final
+
+    return gen
+
+
+def build_chained_production_step(
+    prog,
+    template: R1CS,
+    carry_views,
+    check_batch: int = 128,
+    use_pallas: Optional[bool] = None,
+):
+    """Chained witness generation + batched satisfiability in ONE
+    dispatch: scan the chain dependency (inherently sequential), then
+    check all T×B instances on the fused batched kernels (embarrassingly
+    parallel). T·B must divide by check_batch.
+
+    step(init_state[B, n_carry], msgs[T, B, n_msg]) →
+    (total_bad, first_flat, final_state). first_flat indexes instances
+    in (t, b) order × num_constraints, as which_from_flat expects."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    gen = build_chained_witness(prog, carry_views, use_pallas)
+    violations = build_templated_check(
+        template, check_batch, use_pallas, "bits"
+    )
+    span = check_batch * template.num_constraints
+
+    @jax.jit
+    def step(init_state, msgs):
+        vals_all, final = gen(init_state, msgs)
+        T, B, S = vals_all.shape
+        assert (T * B) % check_batch == 0
+        z4 = vals_all.reshape(T * B // check_batch, check_batch, S)
+
+        def body(carry, z3):
+            bad = violations(z3)
+            nb = jnp.sum(bad.astype(jnp.uint32))
+            first = jnp.argmax(bad).astype(jnp.uint32)
+            return carry, (nb, first)
+
+        _, (nbs, firsts) = jax.lax.scan(body, 0, z4)
+        total, first = _aggregate(nbs, firsts, span)
+        return total, first, final
+
+    return step
 
 
 class PipelinedSatisfier:

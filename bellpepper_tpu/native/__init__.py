@@ -250,6 +250,12 @@ class NativeBuilder:
             return (V_CONST, 1 if v & 2 else 0, 0)
         return (V_VAR, self._slot(v >> 2), 1 if v & 2 else 0)
 
+    def view(self, v: int):
+        """Decode an opaque Boolean view into a tape-view triple
+        (V_CONST, value, 0) | (V_VAR, slot, negated) — the format
+        pipeline.build_chained_witness takes as carry_views."""
+        return self._view(v)
+
     def finish(self):
         """Extract (R1CS, tape) — identical artifacts to
         ShapeCS.finish() + TapeCS for the same circuit."""

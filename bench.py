@@ -77,10 +77,13 @@ def main():
     # --- witness generation rate (device, chunked) ---
     v0, _f0 = prog.run(free[0])
     _ = int(jnp.sum(v0[0, :4]))
-    t0 = time.time()
     v0, _f0 = prog.run(free[0])
-    _ = int(jnp.sum(v0[0, :4]))
-    t_wit = time.time() - t0
+    _ = int(jnp.sum(v0[0, :4]))  # warm (compile already cached from step)
+    wreps = 8
+    t0 = time.time()
+    outs = [prog.run(free[i % n_chunks])[0] for i in range(wreps)]
+    _ = int(sum(int(jnp.sum(o[0, :1])) for o in outs[-1:]))
+    t_wit = (time.time() - t0) / wreps
     witness_elems_per_s = (B * prog.num_slots) / t_wit
     b_2e20 = max(1, (1 << 20) // template.num_constraints)
     t_wit_2e20 = t_wit / B * b_2e20

@@ -76,7 +76,64 @@ def main():
     v_bad = v0.at[3, 777].set(v0[3, 777] ^ 1)
     detected = not sat.is_satisfied(v_bad)
 
+    # --- true hash CHAIN: digest of block t is the IV of block t+1 ---
+    # (device-side state threading via build_chained_production_step; the
+    # witness scan is inherently sequential, the check is batched+fused)
+    from bellpepper_tpu.compile.pipeline import build_chained_production_step
+    from bellpepper_tpu.compile.tape import V_CONST
+
+    t0 = time.time()
+    nb2 = NativeBuilder()
+    state = [nb2.alloc_bit() for _ in range(256)]
+    msg = [nb2.alloc_bit() for _ in range(512)]
+    out = nb2.sha256_compression(msg, state)
+    chain_template, chain_tape = nb2.finish()
+    carry_views = [nb2.view(v) for v in out]
+    chain_prog = WitnessProgram(chain_tape)
+    t_synth2 = time.time() - t0
+
+    nb3 = NativeBuilder()
+    iv_views = [nb3.view(v) for v in nb3.sha256_iv()]
+    iv = np.asarray(
+        [[v for (_k, v, _n) in iv_views]], np.uint32
+    )  # [1, 256]
+    msgs = rng.integers(0, 2, size=(n_blocks, 1, 512)).astype(np.uint32)
+
+    chain_step = build_chained_production_step(
+        chain_prog, chain_template, carry_views, check_batch=chunk
+    )
+    total_c, _f, final = chain_step(jnp.asarray(iv), jnp.asarray(msgs))
+    chain_ok = int(total_c) == 0
+    reps_c = 2
+    t0 = time.time()
+    acc = None
+    for _ in range(reps_c):
+        total_c, _f, final = chain_step(jnp.asarray(iv), jnp.asarray(msgs))
+        acc = total_c if acc is None else acc + total_c
+    chain_bad = int(acc) != 0
+    t_chain = (time.time() - t0) / reps_c
+    chain_constraints = n_blocks * chain_template.num_constraints
+
     throughput = total_constraints / t_step
+    print(
+        json.dumps(
+            {
+                "metric": "sha256 sequential hash chain constraint-evals/s "
+                "(1024 chained blocks, one dispatch)",
+                "value": round(chain_constraints / t_chain, 1),
+                "unit": "constraints/s",
+                "detail": {
+                    "blocks": n_blocks,
+                    "constraints": chain_constraints,
+                    "template_constraints": chain_template.num_constraints,
+                    "satisfied": chain_ok and not chain_bad,
+                    "step_s": round(t_chain, 4),
+                    "host_synthesis_s": round(t_synth2, 2),
+                },
+            }
+        )
+    )
+    assert chain_ok and not chain_bad
     print(
         json.dumps(
             {

@@ -81,18 +81,21 @@ def main():
 
     dev = DeviceR1CS.from_r1cs(r1cs)
 
+    # dev rides as a jit ARGUMENT (device buffers); closed-over index
+    # arrays embed as HLO literals and overflow the compile transport at
+    # 2^24 rows.
     @jax.jit
-    def complete_witness(z):
+    def complete_witness(z, dev):
         az, bz, _ = r1cs_eval(be, dev, z)
         prod = be.mul(az, bz)
         return z.at[N0 + 1 :].set(prod)
 
     t0 = time.time()
-    z = complete_witness(z)
+    z = complete_witness(z, dev)
     _ = int(jnp.sum(z[0, :1]))
     t_witness_first = time.time() - t0
     t0 = time.time()
-    z2 = complete_witness(z)
+    z2 = complete_witness(z, dev)
     _ = int(jnp.sum(z2[0, :1]))
     t_witness = time.time() - t0
 
