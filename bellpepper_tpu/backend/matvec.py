@@ -108,6 +108,158 @@ def r1cs_eval(
     return az, bz, cz
 
 
+def build_row_chunked_eval(r: R1CS, n_chunks: int, names=("a", "b", "c")):
+    """Row-chunked A·z/B·z/C·z for HUGE single systems: a `lax.scan` over
+    contiguous row blocks so only ONE block's per-entry modmul
+    intermediates are live at a time (the monolithic `r1cs_eval` keeps
+    ~63 digit planes per entry alive — tens of GB at 2^24 rows; chunked,
+    peak HLO temp is E/n_chunks·digits).
+
+    Returns (eval_fn, prep) where eval_fn(z, prep) → (az, bz, cz), each
+    uint32[R, 16]. `prep` is a pytree of device buffers — pass it as a
+    jit ARGUMENT (closures embed HLO literals; see DeviceR1CS).
+
+    Reference hot loop: test_cs.rs:239-253 (eval per constraint row)."""
+    be = get_backend(r.field)
+    R_ = r.num_constraints
+    assert R_ % n_chunks == 0, "num_constraints must divide n_chunks"
+    rpc = R_ // n_chunks
+    prep = {}
+    for name in names:
+        m = getattr(r, name)
+        _assert_row_density(m.rows, R_, f"matrix {name}")
+        order = np.argsort(m.rows, kind="stable")
+        rows_s = np.asarray(m.rows)[order]
+        cols_s = np.asarray(m.cols)[order]
+        cids_s = np.asarray(m.coeff_ids)[order]
+        bounds = np.searchsorted(rows_s, np.arange(0, R_ + 1, rpc))
+        counts = np.diff(bounds)
+        e_max = int(counts.max()) if counts.size else 0
+        e_max = max(e_max, 1)
+        cols_p = np.zeros((n_chunks, e_max), np.int32)
+        cids_p = np.zeros((n_chunks, e_max), np.int32)
+        lrow_p = np.zeros((n_chunks, e_max), np.int32)
+        mask_p = np.zeros((n_chunks, e_max), np.uint32)
+        for k in range(n_chunks):
+            s, e = int(bounds[k]), int(bounds[k + 1])
+            n = e - s
+            cols_p[k, :n] = cols_s[s:e]
+            cids_p[k, :n] = cids_s[s:e]
+            lrow_p[k, :n] = rows_s[s:e] - k * rpc
+            mask_p[k, :n] = 1
+        prep[name] = {
+            "cols": jax.device_put(cols_p),
+            "cids": jax.device_put(cids_p),
+            "lrow": jax.device_put(lrow_p),
+            "mask": jax.device_put(mask_p),
+        }
+    prep["coeff_limbs"] = jax.device_put(
+        jnp.asarray(be.to_limbs(r.coeff_table))
+    )
+
+    def _block(z, cl, mx):
+        zv = z[mx["cols"]]  # [e_max, 16]
+        prod = be.mul(zv, cl[mx["cids"]])
+        prod = prod * mx["mask"][:, None]  # zero padded entries
+        digits = be._split8(prod)
+        rowsum = jax.ops.segment_sum(digits, mx["lrow"], num_segments=rpc)
+        return be._reduce_wide8(rowsum)  # [rpc, 16]
+
+    def eval_fn(z, prep):
+        cl = prep["coeff_limbs"]
+
+        def body(carry, xs):
+            return carry, tuple(_block(z, cl, x) for x in xs)
+
+        _, outs = jax.lax.scan(
+            body, 0, tuple(prep[name] for name in names)
+        )
+        return tuple(o.reshape(R_, 16) for o in outs)
+
+    return eval_fn, prep
+
+
+def build_row_chunked_product(r: R1CS, n_chunks: int):
+    """(A·z) ∘ (B·z) row-chunked: the witness-completion primitive for
+    product-form systems (aux segment = per-row products). Fusing the
+    modmul into the scan body keeps ONLY the product array materialized
+    — separate az/bz outputs double the O(R·16) footprint, which is the
+    difference between fitting and OOM at 2^24 rows.
+
+    Returns (prod_fn, prep); prod_fn(z, prep) → uint32[R, 16]."""
+    eval_fn, prep = build_row_chunked_eval(r, n_chunks, names=("a", "b"))
+    be = get_backend(r.field)
+    R_ = r.num_constraints
+    rpc = R_ // n_chunks
+
+    def _block(z, cl, mx):
+        zv = z[mx["cols"]]
+        prod = be.mul(zv, cl[mx["cids"]])
+        prod = prod * mx["mask"][:, None]
+        digits = be._split8(prod)
+        rowsum = jax.ops.segment_sum(digits, mx["lrow"], num_segments=rpc)
+        return be._reduce_wide8(rowsum)
+
+    def prod_fn(z, prep):
+        cl = prep["coeff_limbs"]
+
+        def body(carry, xs):
+            a_x, b_x = xs
+            return carry, be.mul(_block(z, cl, a_x), _block(z, cl, b_x))
+
+        _, prod = jax.lax.scan(body, 0, (prep["a"], prep["b"]))
+        return prod.reshape(R_, 16)
+
+    return prod_fn, prep
+
+
+def build_row_chunked_check(r: R1CS, n_chunks: int):
+    """Row-chunked satisfiability for one HUGE system on ONE device:
+    scan row blocks, keep only (n_bad, first) — nothing O(R) is ever
+    materialized beyond the scan's per-block temporaries.
+
+    Returns (check_fn, prep); check_fn(z, prep) → (n_bad, first_row)."""
+    eval_prep = build_row_chunked_eval(r, n_chunks)
+    _eval_fn, prep = eval_prep
+    be = get_backend(r.field)
+    R_ = r.num_constraints
+    rpc = R_ // n_chunks
+
+    def _block(z, cl, mx):
+        zv = z[mx["cols"]]
+        prod = be.mul(zv, cl[mx["cids"]])
+        prod = prod * mx["mask"][:, None]
+        digits = be._split8(prod)
+        rowsum = jax.ops.segment_sum(digits, mx["lrow"], num_segments=rpc)
+        return be._reduce_wide8(rowsum)
+
+    def check_fn(z, prep):
+        cl = prep["coeff_limbs"]
+        sentinel = jnp.uint32(0xFFFFFFFF)
+
+        def body(k, xs):
+            a_x, b_x, c_x = xs
+            az = _block(z, cl, a_x)
+            bz = _block(z, cl, b_x)
+            cz = _block(z, cl, c_x)
+            bad = jnp.any(be.mul(az, bz) != cz, axis=1)  # [rpc]
+            nb = jnp.sum(bad.astype(jnp.uint32))
+            first = jnp.where(
+                nb > 0,
+                jnp.argmax(bad).astype(jnp.uint32)
+                + k.astype(jnp.uint32) * jnp.uint32(rpc),
+                sentinel,
+            )
+            return k + 1, (nb, first)
+
+        _, (nbs, firsts) = jax.lax.scan(
+            body, jnp.int32(0), (prep["a"], prep["b"], prep["c"])
+        )
+        return jnp.sum(nbs), jnp.min(firsts)
+
+    return check_fn, prep
+
+
 def violation_mask(be: FieldBackend, d: DeviceR1CS, z: jnp.ndarray) -> jnp.ndarray:
     """bool[R]: True where A·z ∘ B·z ≠ C·z."""
     az, bz, cz = r1cs_eval(be, d, z)

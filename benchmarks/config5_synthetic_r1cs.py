@@ -30,7 +30,6 @@ def main():
     import jax.numpy as jnp
 
     from bellpepper_tpu.backend.field_jnp import get_backend
-    from bellpepper_tpu.backend.matvec import DeviceR1CS, r1cs_eval
     from bellpepper_tpu.backend.sharding import RowShardedSatisfier, default_mesh
     from bellpepper_tpu.fields import SCALAR
     from bellpepper_tpu.r1cs import COOMatrix, R1CS
@@ -79,47 +78,71 @@ def main():
     z0[N0 + 1 :] = 0  # product segment unknown
     z = jnp.asarray(z0)
 
-    dev = DeviceR1CS.from_r1cs(r1cs)
+    # Row-chunked A·z/B·z (a lax.scan over row blocks): the monolithic
+    # eval's per-entry digit intermediates need ~54 GB of HLO temps at
+    # 2^24 rows; chunked, only one block's temporaries are live. The
+    # layout rides as a jit ARGUMENT (closures embed HLO literals and
+    # overflow the compile transport at this size).
+    from bellpepper_tpu.backend.matvec import build_row_chunked_product
 
-    # dev rides as a jit ARGUMENT (device buffers); closed-over index
-    # arrays embed as HLO literals and overflow the compile transport at
-    # 2^24 rows.
-    @jax.jit
-    def complete_witness(z, dev):
-        az, bz, _ = r1cs_eval(be, dev, z)
-        prod = be.mul(az, bz)
-        return z.at[N0 + 1 :].set(prod)
+    n_wit_chunks = max(1, R >> 17)
+    prod_fn, prep_ab = build_row_chunked_product(r1cs, n_wit_chunks)
+
+    from functools import partial
+
+    # donate z: the update is in-place on device (saves one 1.1 GB copy)
+    @partial(jax.jit, donate_argnums=(0,))
+    def complete_witness(z, prep):
+        return z.at[N0 + 1 :].set(prod_fn(z, prep))
 
     t0 = time.time()
-    z = complete_witness(z, dev)
+    z = complete_witness(z, prep_ab)
     _ = int(jnp.sum(z[0, :1]))
     t_witness_first = time.time() - t0
     t0 = time.time()
-    z2 = complete_witness(z, dev)
+    z2 = complete_witness(jnp.copy(z), prep_ab)
     _ = int(jnp.sum(z2[0, :1]))
     t_witness = time.time() - t0
 
-    # --- row-sharded check over the mesh ---
-    mesh = default_mesh(n_dev)
+    # --- check: row-sharded over the mesh (≤2^22 per device) or
+    # row-chunked scan on one device (HBM-bounded at 2^24) ---
+    row_chunked = n_dev == 1 and log2_r >= 23
     t0 = time.time()
-    sat = RowShardedSatisfier(r1cs, mesh)
+    if row_chunked:
+        from bellpepper_tpu.backend.matvec import build_row_chunked_check
+
+        check_fn, prep_chk = build_row_chunked_check(r1cs, max(1, R >> 17))
+        check_jit = jax.jit(check_fn)
+
+        def run_check(zz):
+            return check_jit(zz, prep_chk)
+
+    else:
+        mesh = default_mesh(n_dev)
+        sat = RowShardedSatisfier(r1cs, mesh)
+
+        def run_check(zz):
+            return sat._check(zz)
+
     t_shard_build = time.time() - t0
     t0 = time.time()
-    ok = sat.is_satisfied(z)
+    nb0, _f0 = run_check(z)
+    ok = int(nb0) == 0
     t_check_first = time.time() - t0
 
     n = 10
     t0 = time.time()
     acc = None
     for _ in range(n):
-        nb, _f = sat._check(z)
+        nb, _f = run_check(z)
         acc = nb if acc is None else acc | nb
     bad = int(acc)
     t_check = (time.time() - t0) / n
 
     # corruption probe
     zb = z.at[5, 0].set(z[5, 0] ^ 1)
-    detected = not sat.is_satisfied(zb)
+    nbb, _fb = run_check(zb)
+    detected = int(nbb) > 0
 
     print(
         json.dumps(
@@ -130,6 +153,9 @@ def main():
                 "detail": {
                     "constraints": R,
                     "devices": n_dev,
+                    "check_mode": "row-chunked-scan"
+                    if row_chunked
+                    else "row-sharded-mesh",
                     "satisfied": bool(ok) and bad == 0,
                     "corruption_detected": bool(detected),
                     "host_build_s": round(t_build, 3),

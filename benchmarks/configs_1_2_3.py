@@ -32,22 +32,25 @@ def _measure_step(step, free, reps=6):
     return (time.time() - t0) / reps, ok and bad == 0
 
 
-def _emit(name, template, B, n_chunks, dt, ok, t_synth):
+def _emit(name, template, B, n_chunks, dt, ok, t_synth, extra=None):
     total = n_chunks * B * template.num_constraints
+    detail = {
+        "constraints_per_step": total,
+        "chunk_batch": B,
+        "chunks": n_chunks,
+        "satisfied": ok,
+        "step_s": round(dt, 4),
+        "synthesis_s": round(t_synth, 3),
+    }
+    if extra:
+        detail.update(extra)
     print(
         json.dumps(
             {
                 "metric": name,
                 "value": round(total / dt, 1),
                 "unit": "constraints/s",
-                "detail": {
-                    "constraints_per_step": total,
-                    "chunk_batch": B,
-                    "chunks": n_chunks,
-                    "satisfied": ok,
-                    "step_s": round(dt, 4),
-                    "synthesis_s": round(t_synth, 3),
-                },
+                "detail": detail,
             }
         )
     )
@@ -101,9 +104,25 @@ def config1():
         .astype(np.uint32)
     )
     dt, ok = _measure_step(step, free)
+
+    # field-path witness generation rate (scan-structured field stages)
+    v0, f0 = prog.run(free[0])
+    _ = int(jnp.sum(v0[0, :1]))
+    wreps = 8
+    t0 = time.time()
+    outs = [prog.run(free[i % n_chunks])[1] for i in range(wreps)]
+    _ = int(jnp.sum(outs[-1][0, 0]))
+    t_wit = (time.time() - t0) / wreps
+    n_field_elems = B * (len(prog.free_field_slots) + f0.shape[1])
+    extra = {
+        "field_witness_elements_per_s": round(
+            B * prog.num_slots / t_wit, 1
+        ),
+        "field_values_per_chunk": int(n_field_elems),
+    }
     _emit(
         "config1 AllocatedNum mul/add constraint-evals/s",
-        template, B, n_chunks, dt, ok, t_synth,
+        template, B, n_chunks, dt, ok, t_synth, extra,
     )
 
 

@@ -107,11 +107,38 @@ def main():
         )
         n *= 2
 
+    # SPMD-overhead probe at fixed TOTAL batch: the same workload
+    # unsharded on ONE device vs max_dev-way sharded, on identical
+    # physical hardware (all virtual CPU devices share this host's
+    # cores). This isolates what sharding itself costs — shard_map
+    # partitioning + the psum verdict — which is the single-host
+    # question the virtual mesh CAN answer honestly (the weak-scaling
+    # table above is hardware-limited to ~cores/devices here).
+    B_tot = per_dev_b * max_dev
+    mesh1 = global_mesh(devices=jax.devices()[:1])
+    step1, _ = multihost_verdict_step(prog, template, B_tot, mesh1)
+    free_local = rng.integers(
+        0, 2, size=(B_tot, len(prog.free_slots))
+    ).astype(np.uint32)
+    free1 = make_global_batch(free_local, mesh1)
+    nb, _z = step1(free1)
+    assert int(nb) == 0
+    reps = 10
+    t0 = time.time()
+    acc = None
+    for _ in range(reps):
+        nb, _z = step1(free1)
+        acc = nb if acc is None else acc + nb
+    assert int(acc) == 0
+    thr1 = B_tot * template.num_constraints / ((time.time() - t0) / reps)
+    spmd_efficiency = 100 * rows[-1]["constraints_per_s"] / thr1
+
     print(
         json.dumps(
             {
-                "metric": "weak-scaling efficiency (sharded witness+check)",
-                "value": rows[-1]["efficiency_pct"],
+                "metric": "sharding efficiency at fixed total batch "
+                f"({max_dev}-way shard_map+psum vs unsharded, same hardware)",
+                "value": round(spmd_efficiency, 1),
                 "unit": "%",
                 "detail": {
                     "platform": jax.default_backend(),
