@@ -108,12 +108,30 @@ def r1cs_eval(
     return az, bz, cz
 
 
-def build_row_chunked_eval(r: R1CS, n_chunks: int, names=("a", "b", "c")):
+# Premultiplying the coefficient table against z (|table| dense modmuls)
+# turns EVERY per-entry modmul into a gather — the win whenever the table
+# is much smaller than the entry count (it always is: gadget circuits use
+# a handful of coefficients). Auto-enabled while the K·N·64B premul array
+# fits comfortably; the footprint guard keeps it off for huge tables.
+_PREMUL_MAX_TABLE = 16
+
+
+def build_row_chunked_eval(
+    r: R1CS,
+    n_chunks: int,
+    names=("a", "b", "c"),
+    premul_table: Optional[bool] = None,
+):
     """Row-chunked A·z/B·z/C·z for HUGE single systems: a `lax.scan` over
     contiguous row blocks so only ONE block's per-entry modmul
     intermediates are live at a time (the monolithic `r1cs_eval` keeps
     ~63 digit planes per entry alive — tens of GB at 2^24 rows; chunked,
     peak HLO temp is E/n_chunks·digits).
+
+    With `premul_table` (auto when the coefficient table is small), the
+    scan body does NO per-entry modmuls: tz[k] = coeff_k·z is computed
+    once per call (|table| dense multiplies; identity/zero coefficients
+    fold away), and each entry becomes one gather from tz.
 
     Returns (eval_fn, prep) where eval_fn(z, prep) → (az, bz, cz), each
     uint32[R, 16]. `prep` is a pytree of device buffers — pass it as a
@@ -123,6 +141,8 @@ def build_row_chunked_eval(r: R1CS, n_chunks: int, names=("a", "b", "c")):
     be = get_backend(r.field)
     R_ = r.num_constraints
     assert R_ % n_chunks == 0, "num_constraints must divide n_chunks"
+    if premul_table is None:
+        premul_table = len(r.coeff_table) <= _PREMUL_MAX_TABLE
     rpc = R_ // n_chunks
     prep = {}
     for name in names:
@@ -157,29 +177,56 @@ def build_row_chunked_eval(r: R1CS, n_chunks: int, names=("a", "b", "c")):
         jnp.asarray(be.to_limbs(r.coeff_table))
     )
 
-    def _block(z, cl, mx):
-        zv = z[mx["cols"]]  # [e_max, 16]
-        prod = be.mul(zv, cl[mx["cids"]])
-        prod = prod * mx["mask"][:, None]  # zero padded entries
-        digits = be._split8(prod)
+    N = r.num_inputs + r.num_aux  # == len(z) rows (input 0 is ONE)
+    coeff_vals = [c % r.field.p for c in r.coeff_table]
+    if premul_table:
+        assert len(coeff_vals) * N < (1 << 31), "premul index overflow"
+
+    def _zsrc(z, cl):
+        """Per-call source buffer the scan body gathers from."""
+        if not premul_table:
+            return z
+        rows = []
+        for k, cv in enumerate(coeff_vals):
+            if cv == 0:
+                rows.append(jnp.zeros_like(z))
+            elif cv == 1:
+                rows.append(z)
+            else:
+                rows.append(be.mul(z, jnp.broadcast_to(cl[k], z.shape)))
+        return jnp.concatenate(rows, axis=0)  # [K·N, 16]
+
+    def _block(zsrc, cl, mx):
+        if premul_table:
+            v = zsrc[mx["cids"] * N + mx["cols"]]  # pre-multiplied
+        else:
+            v = be.mul(zsrc[mx["cols"]], cl[mx["cids"]])
+        v = v * mx["mask"][:, None]  # zero padded entries
+        digits = be._split8(v)
         rowsum = jax.ops.segment_sum(digits, mx["lrow"], num_segments=rpc)
         return be._reduce_wide8(rowsum)  # [rpc, 16]
 
     def eval_fn(z, prep):
         cl = prep["coeff_limbs"]
+        zsrc = _zsrc(z, cl)
 
         def body(carry, xs):
-            return carry, tuple(_block(z, cl, x) for x in xs)
+            return carry, tuple(_block(zsrc, cl, x) for x in xs)
 
         _, outs = jax.lax.scan(
             body, 0, tuple(prep[name] for name in names)
         )
         return tuple(o.reshape(R_, 16) for o in outs)
 
+    eval_fn._zsrc = _zsrc
+    eval_fn._block = _block
+    eval_fn._rpc = rpc
     return eval_fn, prep
 
 
-def build_row_chunked_product(r: R1CS, n_chunks: int):
+def build_row_chunked_product(
+    r: R1CS, n_chunks: int, premul_table: Optional[bool] = None
+):
     """(A·z) ∘ (B·z) row-chunked: the witness-completion primitive for
     product-form systems (aux segment = per-row products). Fusing the
     modmul into the scan body keeps ONLY the product array materialized
@@ -187,25 +234,22 @@ def build_row_chunked_product(r: R1CS, n_chunks: int):
     difference between fitting and OOM at 2^24 rows.
 
     Returns (prod_fn, prep); prod_fn(z, prep) → uint32[R, 16]."""
-    eval_fn, prep = build_row_chunked_eval(r, n_chunks, names=("a", "b"))
+    eval_fn, prep = build_row_chunked_eval(
+        r, n_chunks, names=("a", "b"), premul_table=premul_table
+    )
     be = get_backend(r.field)
     R_ = r.num_constraints
-    rpc = R_ // n_chunks
-
-    def _block(z, cl, mx):
-        zv = z[mx["cols"]]
-        prod = be.mul(zv, cl[mx["cids"]])
-        prod = prod * mx["mask"][:, None]
-        digits = be._split8(prod)
-        rowsum = jax.ops.segment_sum(digits, mx["lrow"], num_segments=rpc)
-        return be._reduce_wide8(rowsum)
+    _zsrc, _block = eval_fn._zsrc, eval_fn._block
 
     def prod_fn(z, prep):
         cl = prep["coeff_limbs"]
+        zsrc = _zsrc(z, cl)
 
         def body(carry, xs):
             a_x, b_x = xs
-            return carry, be.mul(_block(z, cl, a_x), _block(z, cl, b_x))
+            return carry, be.mul(
+                _block(zsrc, cl, a_x), _block(zsrc, cl, b_x)
+            )
 
         _, prod = jax.lax.scan(body, 0, (prep["a"], prep["b"]))
         return prod.reshape(R_, 16)
@@ -213,35 +257,31 @@ def build_row_chunked_product(r: R1CS, n_chunks: int):
     return prod_fn, prep
 
 
-def build_row_chunked_check(r: R1CS, n_chunks: int):
+def build_row_chunked_check(
+    r: R1CS, n_chunks: int, premul_table: Optional[bool] = None
+):
     """Row-chunked satisfiability for one HUGE system on ONE device:
     scan row blocks, keep only (n_bad, first) — nothing O(R) is ever
     materialized beyond the scan's per-block temporaries.
 
     Returns (check_fn, prep); check_fn(z, prep) → (n_bad, first_row)."""
-    eval_prep = build_row_chunked_eval(r, n_chunks)
-    _eval_fn, prep = eval_prep
+    eval_fn, prep = build_row_chunked_eval(
+        r, n_chunks, premul_table=premul_table
+    )
     be = get_backend(r.field)
-    R_ = r.num_constraints
-    rpc = R_ // n_chunks
-
-    def _block(z, cl, mx):
-        zv = z[mx["cols"]]
-        prod = be.mul(zv, cl[mx["cids"]])
-        prod = prod * mx["mask"][:, None]
-        digits = be._split8(prod)
-        rowsum = jax.ops.segment_sum(digits, mx["lrow"], num_segments=rpc)
-        return be._reduce_wide8(rowsum)
+    rpc = eval_fn._rpc
+    _zsrc, _block = eval_fn._zsrc, eval_fn._block
 
     def check_fn(z, prep):
         cl = prep["coeff_limbs"]
+        zsrc = _zsrc(z, cl)
         sentinel = jnp.uint32(0xFFFFFFFF)
 
         def body(k, xs):
             a_x, b_x, c_x = xs
-            az = _block(z, cl, a_x)
-            bz = _block(z, cl, b_x)
-            cz = _block(z, cl, c_x)
+            az = _block(zsrc, cl, a_x)
+            bz = _block(zsrc, cl, b_x)
+            cz = _block(zsrc, cl, c_x)
             bad = jnp.any(be.mul(az, bz) != cz, axis=1)  # [rpc]
             nb = jnp.sum(bad.astype(jnp.uint32))
             first = jnp.where(

@@ -246,6 +246,71 @@ def build_chained_production_step(
     return step
 
 
+_STATE_TO_MSG_PERM = np.asarray(
+    [w * 32 + (31 - t) for w in range(8) for t in range(32)], np.int32
+)
+
+
+def build_merkle_tree_step(
+    prog,
+    template: R1CS,
+    digest_views,
+    n_leaves: int,
+    use_pallas: Optional[bool] = None,
+):
+    """Merkle TREE reduction as a first-class device program: each level
+    hashes sibling pairs with one batched witness+check evaluation
+    (batch halves per level), digests rewire to the next level's message
+    bits by a static permutation — no host round-trips between levels.
+
+    Template contract: one compression with 512 FREE message bits
+    (constant IV); `digest_views` (decoded via NativeBuilder.view) say
+    where the digest bits live. Digest state bits are 8 words × 32
+    LSB-first; message bits are big-endian per word (the sha256 gadget
+    convention) — the static perm converts.
+
+    step(leaf_digests[n_leaves, 256]) → (root[256], total_bad).
+    total_bad counts constraint violations across ALL internal nodes.
+
+    The reference can only express a tree by synthesising one monolithic
+    circuit over all nodes (sha256.rs:54-76 composes blocks at synthesis
+    time); here one template is compiled once per level batch size."""
+    assert n_leaves >= 2 and (n_leaves & (n_leaves - 1)) == 0
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    assert prog.is_pure_bits
+    evaluator = prog.build(use_pallas)
+    extract = _carry_extractor(digest_views)
+    n_free_field = max(len(prog.free_field_slots), 1)
+    perm = jnp.asarray(_STATE_TO_MSG_PERM)
+
+    # one violations builder per level batch size
+    checks = {}
+    b = n_leaves // 2
+    while b >= 1:
+        checks[b] = build_templated_check(template, b, use_pallas, "bits")
+        b //= 2
+
+    @jax.jit
+    def step(leaf_digests):
+        assert leaf_digests.shape == (n_leaves, 256)
+        d = leaf_digests
+        total = jnp.uint32(0)
+        while d.shape[0] > 1:
+            B = d.shape[0] // 2
+            msg = jnp.concatenate(
+                [d[0::2][:, perm], d[1::2][:, perm]], axis=1
+            )  # [B, 512]
+            ffz = jnp.zeros((B, n_free_field, 16), jnp.uint32)
+            vals, _fl = evaluator(msg, ffz)
+            bad = checks[B](vals)
+            total = total + jnp.sum(bad.astype(jnp.uint32))
+            d = extract(vals)
+        return d[0], total
+
+    return step
+
+
 class PipelinedSatisfier:
     """User-facing chunk-scanned satisfiability checker: the
     TemplatedSatisfier API over [n_chunks, batch, ...] witness buffers,
