@@ -108,12 +108,18 @@ def r1cs_eval(
     return az, bz, cz
 
 
-# Premultiplying the coefficient table against z (|table| dense modmuls)
-# turns EVERY per-entry modmul into a gather — the win whenever the table
-# is much smaller than the entry count (it always is: gadget circuits use
-# a handful of coefficients). Auto-enabled while the K·N·64B premul array
-# fits comfortably; the footprint guard keeps it off for huge tables.
+# Premultiplying the coefficient table against z turns per-entry modmuls
+# in the scan body into plain gathers — the jnp schoolbook modmul is
+# VPU-compute-bound at a few M muls/s, so at 2^24 rows the per-entry
+# modmuls dominate everything else by ~10×. The premul is SPAN-BOUNDED:
+# identity/zero coefficients gather straight from z (no multiply at
+# all), and each non-trivial coefficient k premultiplies only
+# z[:max_col_k+1] — the column span its entries actually touch. Entry
+# indices are remapped host-side into the concatenated source buffer.
+# Auto-enabled while the extra premul rows stay small (the dense modmul
+# materializes padded [span, 32] temps — unbounded spans OOM'd 2^24).
 _PREMUL_MAX_TABLE = 16
+_PREMUL_MAX_ROWS = 1 << 22
 
 
 def build_row_chunked_eval(
@@ -128,10 +134,11 @@ def build_row_chunked_eval(
     ~63 digit planes per entry alive — tens of GB at 2^24 rows; chunked,
     peak HLO temp is E/n_chunks·digits).
 
-    With `premul_table` (auto when the coefficient table is small), the
-    scan body does NO per-entry modmuls: tz[k] = coeff_k·z is computed
-    once per call (|table| dense multiplies; identity/zero coefficients
-    fold away), and each entry becomes one gather from tz.
+    With `premul_table` (auto when the non-trivial coefficient spans are
+    small), the scan body does NO per-entry modmuls: tz[k] =
+    coeff_k·z[:span_k] is computed once per call (identity/zero
+    coefficients fold away entirely), and each entry becomes one gather
+    from concat([z] + tz).
 
     Returns (eval_fn, prep) where eval_fn(z, prep) → (az, bz, cz), each
     uint32[R, 16]. `prep` is a pytree of device buffers — pass it as a
@@ -141,77 +148,149 @@ def build_row_chunked_eval(
     be = get_backend(r.field)
     R_ = r.num_constraints
     assert R_ % n_chunks == 0, "num_constraints must divide n_chunks"
-    if premul_table is None:
-        premul_table = len(r.coeff_table) <= _PREMUL_MAX_TABLE
     rpc = R_ // n_chunks
+    N = r.num_inputs + r.num_aux  # == len(z) rows (input 0 is ONE)
+    coeff_vals = [c % r.field.p for c in r.coeff_table]
+
+    # Column span touched by each non-trivial coefficient, across all
+    # requested matrices — premul only covers z[:span_k].
+    span = {}
+    for name in names:
+        m = getattr(r, name)
+        cids = np.asarray(m.coeff_ids)
+        cols = np.asarray(m.cols)
+        for k, cv in enumerate(coeff_vals):
+            if cv in (0, 1):
+                continue
+            sel = cids == k
+            if sel.any():
+                span[k] = max(span.get(k, 0), int(cols[sel].max()) + 1)
+    sum_span = sum(span.values())
+    if premul_table is None:
+        premul_table = (
+            len(span) <= _PREMUL_MAX_TABLE and sum_span <= _PREMUL_MAX_ROWS
+        )
+    # offset of each coefficient's premul slice in the gather source
+    offset, cursor = {}, N
+    for k in sorted(span):
+        offset[k] = cursor
+        cursor += span[k]
+
     prep = {}
+    ell_deg = {}
     for name in names:
         m = getattr(r, name)
         _assert_row_density(m.rows, R_, f"matrix {name}")
-        order = np.argsort(m.rows, kind="stable")
-        rows_s = np.asarray(m.rows)[order]
-        cols_s = np.asarray(m.cols)[order]
-        cids_s = np.asarray(m.coeff_ids)[order]
-        bounds = np.searchsorted(rows_s, np.arange(0, R_ + 1, rpc))
-        counts = np.diff(bounds)
-        e_max = int(counts.max()) if counts.size else 0
-        e_max = max(e_max, 1)
-        cols_p = np.zeros((n_chunks, e_max), np.int32)
-        cids_p = np.zeros((n_chunks, e_max), np.int32)
-        lrow_p = np.zeros((n_chunks, e_max), np.int32)
-        mask_p = np.zeros((n_chunks, e_max), np.uint32)
-        for k in range(n_chunks):
-            s, e = int(bounds[k]), int(bounds[k + 1])
-            n = e - s
-            cols_p[k, :n] = cols_s[s:e]
-            cids_p[k, :n] = cids_s[s:e]
-            lrow_p[k, :n] = rows_s[s:e] - k * rpc
-            mask_p[k, :n] = 1
+        rows_np = np.asarray(m.rows)
+        degrees = np.bincount(rows_np, minlength=R_)
+        deg = max(int(degrees.max()) if R_ else 0, 1)
+        n_entries = len(rows_np)
+        # ELL mode: entries laid out [row, slot] so the per-row sum is a
+        # dense reshape-sum — XLA's scatter-add (segment_sum) is ~70×
+        # slower on TPU. Falls back to segment_sum when one dense row
+        # would blow the padding up.
+        use_ell = deg * R_ <= max(2 * n_entries, R_ * 4)
+        if use_ell:
+            ell_deg[name] = deg
+            order = np.lexsort((np.arange(n_entries), rows_np))
+            rows_s = rows_np[order]
+            slot = np.arange(n_entries) - np.repeat(
+                np.concatenate(([0], np.cumsum(degrees)[:-1])), degrees
+            )
+            pos = rows_s * deg + slot  # dense ELL position of each entry
+            e_max = rpc * deg
+            cols_p = np.zeros((n_chunks, e_max), np.int32)
+            cids_p = np.zeros((n_chunks, e_max), np.int32)
+            mask_p = np.zeros((n_chunks, e_max), np.uint32)
+            flat_cols = np.zeros(R_ * deg, np.int32)
+            flat_cids = np.zeros(R_ * deg, np.int32)
+            flat_mask = np.zeros(R_ * deg, np.uint32)
+            flat_cols[pos] = np.asarray(m.cols)[order]
+            flat_cids[pos] = np.asarray(m.coeff_ids)[order]
+            flat_mask[pos] = 1
+            cols_p = flat_cols.reshape(n_chunks, e_max)
+            cids_p = flat_cids.reshape(n_chunks, e_max)
+            mask_p = flat_mask.reshape(n_chunks, e_max)
+            lrow_p = np.zeros((n_chunks, 1), np.int32)  # unused in ELL
+        else:
+            order = np.argsort(rows_np, kind="stable")
+            rows_s = rows_np[order]
+            cols_s = np.asarray(m.cols)[order]
+            cids_s = np.asarray(m.coeff_ids)[order]
+            bounds = np.searchsorted(rows_s, np.arange(0, R_ + 1, rpc))
+            counts = np.diff(bounds)
+            e_max = int(counts.max()) if counts.size else 0
+            e_max = max(e_max, 1)
+            cols_p = np.zeros((n_chunks, e_max), np.int32)
+            cids_p = np.zeros((n_chunks, e_max), np.int32)
+            lrow_p = np.zeros((n_chunks, e_max), np.int32)
+            mask_p = np.zeros((n_chunks, e_max), np.uint32)
+            for k in range(n_chunks):
+                s, e = int(bounds[k]), int(bounds[k + 1])
+                n = e - s
+                cols_p[k, :n] = cols_s[s:e]
+                cids_p[k, :n] = cids_s[s:e]
+                lrow_p[k, :n] = rows_s[s:e] - k * rpc
+                mask_p[k, :n] = 1
         prep[name] = {
             "cols": jax.device_put(cols_p),
             "cids": jax.device_put(cids_p),
             "lrow": jax.device_put(lrow_p),
             "mask": jax.device_put(mask_p),
         }
+        if premul_table:
+            # host-side remap: identity → col, zero → masked out,
+            # non-trivial → its premul slice
+            cvals = np.asarray(coeff_vals, object)[cids_p]
+            src_p = cols_p.copy()
+            mask_p = mask_p.copy()
+            for k in span:
+                sel = cids_p == k
+                src_p[sel] = cols_p[sel] + offset[k]
+            mask_p[cvals == 0] = 0
+            src_p[mask_p == 0] = 0
+            prep[name]["src"] = jax.device_put(src_p)
+            prep[name]["mask"] = jax.device_put(mask_p)
     prep["coeff_limbs"] = jax.device_put(
         jnp.asarray(be.to_limbs(r.coeff_table))
     )
-
-    N = r.num_inputs + r.num_aux  # == len(z) rows (input 0 is ONE)
-    coeff_vals = [c % r.field.p for c in r.coeff_table]
-    if premul_table:
-        assert len(coeff_vals) * N < (1 << 31), "premul index overflow"
 
     def _zsrc(z, cl):
         """Per-call source buffer the scan body gathers from."""
         if not premul_table:
             return z
-        rows = []
-        for k, cv in enumerate(coeff_vals):
-            if cv == 0:
-                rows.append(jnp.zeros_like(z))
-            elif cv == 1:
-                rows.append(z)
-            else:
-                rows.append(be.mul(z, jnp.broadcast_to(cl[k], z.shape)))
-        return jnp.concatenate(rows, axis=0)  # [K·N, 16]
+        rows = [z]
+        for k in sorted(span):
+            zk = z[: span[k]]
+            rows.append(be.mul(zk, jnp.broadcast_to(cl[k], zk.shape)))
+        return jnp.concatenate(rows, axis=0) if len(rows) > 1 else z
 
-    def _block(zsrc, cl, mx):
+    def _block(zsrc, cl, mx, deg):
         if premul_table:
-            v = zsrc[mx["cids"] * N + mx["cols"]]  # pre-multiplied
+            v = zsrc[mx["src"]]  # pre-multiplied
         else:
             v = be.mul(zsrc[mx["cols"]], cl[mx["cids"]])
         v = v * mx["mask"][:, None]  # zero padded entries
         digits = be._split8(v)
-        rowsum = jax.ops.segment_sum(digits, mx["lrow"], num_segments=rpc)
+        if deg is not None:  # dense ELL reshape-sum
+            rowsum = digits.reshape(rpc, deg, digits.shape[-1]).sum(axis=1)
+        else:
+            rowsum = jax.ops.segment_sum(
+                digits, mx["lrow"], num_segments=rpc
+            )
         return be._reduce_wide8(rowsum)  # [rpc, 16]
+
+    def _blocks(zsrc, cl, xs, nm):
+        return tuple(
+            _block(zsrc, cl, x, ell_deg.get(n)) for n, x in zip(nm, xs)
+        )
 
     def eval_fn(z, prep):
         cl = prep["coeff_limbs"]
         zsrc = _zsrc(z, cl)
 
         def body(carry, xs):
-            return carry, tuple(_block(zsrc, cl, x) for x in xs)
+            return carry, _blocks(zsrc, cl, xs, names)
 
         _, outs = jax.lax.scan(
             body, 0, tuple(prep[name] for name in names)
@@ -219,13 +298,36 @@ def build_row_chunked_eval(
         return tuple(o.reshape(R_, 16) for o in outs)
 
     eval_fn._zsrc = _zsrc
-    eval_fn._block = _block
+    eval_fn._blocks = _blocks
     eval_fn._rpc = rpc
     return eval_fn, prep
 
 
+def _row_block_mul(r: R1CS, rpc: int, use_pallas: Optional[bool]):
+    """Per-row modmul for [rpc, 16] scan blocks. The Pallas kernel is
+    ~100× the jnp schoolbook on TPU (VPU-compute-bound); route through
+    it whenever the block size tiles."""
+    from .field_pallas import TILE, get_pallas_ops
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and rpc % TILE == 0
+    if not use_pallas:
+        return get_backend(r.field).mul
+    ops = get_pallas_ops(r.field)
+
+    def mul(x, y):
+        xl = ops.to_limb_major(x)
+        yl = ops.to_limb_major(y)
+        return ops.from_limb_major(ops.mul(xl, yl), x.shape[0])
+
+    return mul
+
+
 def build_row_chunked_product(
-    r: R1CS, n_chunks: int, premul_table: Optional[bool] = None
+    r: R1CS,
+    n_chunks: int,
+    premul_table: Optional[bool] = None,
+    use_pallas: Optional[bool] = None,
 ):
     """(A·z) ∘ (B·z) row-chunked: the witness-completion primitive for
     product-form systems (aux segment = per-row products). Fusing the
@@ -237,19 +339,17 @@ def build_row_chunked_product(
     eval_fn, prep = build_row_chunked_eval(
         r, n_chunks, names=("a", "b"), premul_table=premul_table
     )
-    be = get_backend(r.field)
     R_ = r.num_constraints
-    _zsrc, _block = eval_fn._zsrc, eval_fn._block
+    _zsrc, _blocks = eval_fn._zsrc, eval_fn._blocks
+    _mul = _row_block_mul(r, eval_fn._rpc, use_pallas)
 
     def prod_fn(z, prep):
         cl = prep["coeff_limbs"]
         zsrc = _zsrc(z, cl)
 
         def body(carry, xs):
-            a_x, b_x = xs
-            return carry, be.mul(
-                _block(zsrc, cl, a_x), _block(zsrc, cl, b_x)
-            )
+            az, bz = _blocks(zsrc, cl, xs, ("a", "b"))
+            return carry, _mul(az, bz)
 
         _, prod = jax.lax.scan(body, 0, (prep["a"], prep["b"]))
         return prod.reshape(R_, 16)
@@ -258,7 +358,10 @@ def build_row_chunked_product(
 
 
 def build_row_chunked_check(
-    r: R1CS, n_chunks: int, premul_table: Optional[bool] = None
+    r: R1CS,
+    n_chunks: int,
+    premul_table: Optional[bool] = None,
+    use_pallas: Optional[bool] = None,
 ):
     """Row-chunked satisfiability for one HUGE system on ONE device:
     scan row blocks, keep only (n_bad, first) — nothing O(R) is ever
@@ -268,9 +371,9 @@ def build_row_chunked_check(
     eval_fn, prep = build_row_chunked_eval(
         r, n_chunks, premul_table=premul_table
     )
-    be = get_backend(r.field)
     rpc = eval_fn._rpc
-    _zsrc, _block = eval_fn._zsrc, eval_fn._block
+    _zsrc, _blocks = eval_fn._zsrc, eval_fn._blocks
+    _mul = _row_block_mul(r, rpc, use_pallas)
 
     def check_fn(z, prep):
         cl = prep["coeff_limbs"]
@@ -278,11 +381,8 @@ def build_row_chunked_check(
         sentinel = jnp.uint32(0xFFFFFFFF)
 
         def body(k, xs):
-            a_x, b_x, c_x = xs
-            az = _block(zsrc, cl, a_x)
-            bz = _block(zsrc, cl, b_x)
-            cz = _block(zsrc, cl, c_x)
-            bad = jnp.any(be.mul(az, bz) != cz, axis=1)  # [rpc]
+            az, bz, cz = _blocks(zsrc, cl, xs, ("a", "b", "c"))
+            bad = jnp.any(_mul(az, bz) != cz, axis=1)  # [rpc]
             nb = jnp.sum(bad.astype(jnp.uint32))
             first = jnp.where(
                 nb > 0,
