@@ -49,10 +49,15 @@ class _Consts:
         self.p16 = _digits(p, 16, L16)
         # Fold rows: limbs8(2^(8*(32+i)) mod p), i = 0..33.
         self.fold = [_digits(pow(2, 8 * (L8 + i), p), 8, L8) for i in range(34)]
-        # 16-bit-basis fold rows: limbs16(2^(16*(16+i)) mod p), i = 0..15.
+        # 16-bit-basis fold rows: limbs16(2^(16*(16+i)) mod p), i = 0..17
+        # (18 rows: the 34-position product of two 17-limb semi-reduced
+        # values folds positions 16..33).
         self.fold16 = [
-            _digits(pow(2, 16 * (L16 + i), p), 16, L16) for i in range(L16)
+            _digits(pow(2, 16 * (L16 + i), p), 16, L16) for i in range(18)
         ]
+        # p·2^11 as 17 limbs: a multiple of p exceeding any 17-limb
+        # semi-reduced value (< 2^266), for borrow-free negation.
+        self.p2_17 = _digits(p << 11, 16, 17)
         # Final-fold rows at 8-bit multiplier granularity (see _mul16):
         # limbs16(2^(256 + 8i) mod p), i = 0..2.
         self.fold16b = [
@@ -229,6 +234,106 @@ def _reduce16_rows(digit_rows: List[jnp.ndarray], consts: _Consts) -> List[jnp.n
     return x16[:L16]
 
 
+SEMI = 17  # limbs of the semi-reduced form (< p·2^11 < 2^266)
+
+
+def _semi_reduce_rows(digit_rows: List[jnp.ndarray], consts: _Consts) -> List[jnp.ndarray]:
+    """Wide 8-bit-basis digits (32 positions, each < 2^32 — matvec
+    accumulators) → SEMI-reduced 17 16-bit limb rows: a value < 2^265
+    congruent mod p, NOT canonical. Skips the expensive shift-subtract
+    chain; the fused compare kernel (_mulcmp_kernel) consumes this form
+    directly, so per-matvec canonicalization is wasted work.
+
+    carry(36: value < 2^280) → fold positions 32..35 (4 rows) → carry →
+    join to 16-bit limbs. Result < 2^256 + 4·255·p < 2^265."""
+    d = _carry8_rows(digit_rows, 36)
+    out: List = list(d[:32])
+    for i in range(4):
+        hi = d[32 + i]
+        row = consts.fold[i]
+        for l in range(32):
+            c = row[l]
+            if c == 0:
+                continue
+            t = hi * jnp.uint32(c)
+            out[l] = out[l] + t
+    d2 = _carry8_rows(out, 34)
+    x16 = _join16_rows(d2[:32])  # 16 rows
+    x16.append(d2[32] | (d2[33] << 8))  # bits 256..271 (top < 2^9)
+    return x16  # 17 rows
+
+
+def _mulcmp_rows(
+    a17: List[jnp.ndarray],
+    b17: List[jnp.ndarray],
+    c17: List[jnp.ndarray],
+    consts: _Consts,
+) -> jnp.ndarray:
+    """a·b ≢ c (mod p) mask for 17-limb semi-reduced operands: one wide
+    convolution + ONE canonical reduction per element, replacing
+    (canonicalize a, canonicalize b, canonicalize c, full modmul,
+    compare). Returns uint32 (0 = equal, nonzero = violation)."""
+    # neg ≡ −c (mod p): borrow-free because p·2^11 > any semi value.
+    neg = []
+    borrow = None
+    for i in range(SEMI):
+        d = (
+            jnp.uint32(consts.p2_17[i]) - c17[i]
+            if borrow is None
+            else jnp.uint32(consts.p2_17[i]) - c17[i] - borrow
+        )
+        borrow = d >> 31
+        neg.append(d & 0xFFFF)
+    # 17×17 convolution with lo/hi split accumulation (≤ 34 terms of
+    # < 2^16 per position → < 2^21.1) plus the neg digits (< 2^16).
+    acc: List = [None] * (2 * SEMI)
+    for i in range(SEMI):
+        ai = a17[i]
+        for j in range(SEMI):
+            t = ai * b17[j]
+            k = i + j
+            lo = t & 0xFFFF
+            hi = t >> 16
+            acc[k] = lo if acc[k] is None else acc[k] + lo
+            acc[k + 1] = hi if acc[k + 1] is None else acc[k + 1] + hi
+    for i in range(SEMI):
+        acc[i] = acc[i] + neg[i]
+    # canonical reduce: carry → fold(18 rows) → carry → 8-bit-granularity
+    # fold → carry → chain (same tail as _reduce16_rows).
+    d = _carry16_rows(acc, 2 * SEMI)  # value < 2^544 → 34 positions
+    out: List = list(d[:L16]) + [None]
+    for i in range(18):
+        hi_d = d[L16 + i]
+        row = consts.fold16[i]
+        for l in range(L16):
+            c = row[l]
+            if c == 0:
+                continue
+            t = hi_d * jnp.uint32(c)
+            lo = t & 0xFFFF
+            hi = t >> 16
+            out[l] = lo if out[l] is None else out[l] + lo
+            out[l + 1] = hi if out[l + 1] is None else out[l + 1] + hi
+    out = [x if x is not None else jnp.zeros_like(d[0]) for x in out]
+    d2 = _carry16_rows(out, 18)  # value < 2^276 → d2[17] < 2^4
+    m0 = d2[L16] & 0xFF
+    m1 = d2[L16] >> 8
+    m2 = d2[17]
+    fin: List = list(d2[:L16])
+    for m, row in zip((m0, m1, m2), consts.fold16b):
+        for l in range(L16):
+            c = row[l]
+            if c == 0:
+                continue
+            fin[l] = fin[l] + m * jnp.uint32(c)
+    x16 = _carry16_rows(fin, SEMI)  # < 2^256 + 3·2^8·p < 2^266
+    x16 = _chain_rows(x16, consts)  # canonical: 0 iff a·b ≡ c
+    bad = x16[0]
+    for l in range(1, L16):
+        bad = bad | x16[l]
+    return bad
+
+
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
@@ -357,7 +462,8 @@ def get_pallas_ops(field: PrimeField, interpret: bool = False) -> PallasFieldOps
 # canonical limbs once.
 # ---------------------------------------------------------------------------
 def make_fold_matvec_bucket(field: PrimeField, C: int, n_rows: int, B: int,
-                            chunk_cap: int = 512, interpret: bool = False):
+                            chunk_cap: int = 512, interpret: bool = False,
+                            out_form: str = "canonical"):
     """Fused bucket matvec: for each of n_rows rows,
 
         acc[d, r, :] = Σ_c F[d, r, c] · x[r, c, :]       (exact integers)
@@ -370,8 +476,13 @@ def make_fold_matvec_bucket(field: PrimeField, C: int, n_rows: int, B: int,
     digit·digit products); chunks accumulate in uint32.
 
     Inputs x [n_rows, C, B] uint32 and F [32, n_rows, C] uint32; output
-    [16, n_rows, B] canonical limbs. B must be a multiple of 128."""
+    [16, n_rows, B] canonical limbs, or — with out_form="semi" —
+    [17, n_rows, B] semi-reduced limbs for the fused compare kernel
+    (make_mulcmp), skipping the per-matvec shift-subtract chain.
+    B must be a multiple of 128."""
     assert B % LANES == 0
+    assert out_form in ("canonical", "semi")
+    out_rows = L16 if out_form == "canonical" else SEMI
     # uint32 accumulator bound: C · 255² must not wrap.
     assert C * 255 * 255 < (1 << 32), f"contraction width {C} overflows"
     consts = _Consts(field)
@@ -405,6 +516,16 @@ def make_fold_matvec_bucket(field: PrimeField, C: int, n_rows: int, B: int,
             acc_ref[...] = (cd[:, :, 0][:, :, None] * bv[:, 0, :][None]).astype(
                 jnp.uint32
             )
+        elif C <= 16:
+            # Short contractions stay on the VPU: a [32,K]×[K,128] MXU dot
+            # costs one full systolic pass at 32/128 M-utilization, so K≤16
+            # buckets (the bulk of gadget rows: xor/and/packing rows) are
+            # ~10× cheaper as K broadcast-MACs over the [32, TR, 128] tile.
+            # Exact in uint32: 255·255·16 < 2^20.
+            acc = cd[:, :, 0][:, :, None] * bv[:, 0, :][None]
+            for c in range(1, C):
+                acc = acc + cd[:, :, c][:, :, None] * bv[:, c, :][None]
+            acc_ref[...] = acc.astype(jnp.uint32)
         else:
             # Mosaic lacks direct uint32↔float32 casts; route via int32.
             # Inputs are < 256, exact in bfloat16 (8-bit mantissa covers
@@ -431,7 +552,10 @@ def make_fold_matvec_bucket(field: PrimeField, C: int, n_rows: int, B: int,
         def _():
             acc = acc_ref[...]
             rows = [acc[d] for d in range(L8)]  # each [TR, 128]
-            out = _reduce_rows(rows, consts)
+            if out_form == "canonical":
+                out = _reduce_rows(rows, consts)
+            else:
+                out = _semi_reduce_rows(rows, consts)
             o_ref[...] = jnp.stack(out)
 
     @jax.jit
@@ -454,11 +578,11 @@ def make_fold_matvec_bucket(field: PrimeField, C: int, n_rows: int, B: int,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (L16, TR, LANES),
+                (out_rows, TR, LANES),
                 lambda ib, ir, jk: (0, ir, ib),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((L16, n_rows, B), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct((out_rows, n_rows, B), jnp.uint32),
             scratch_shapes=[pltpu.VMEM((L8, TR, LANES), jnp.uint32)],
             interpret=interpret,
         )(bv, cd)
@@ -468,12 +592,14 @@ def make_fold_matvec_bucket(field: PrimeField, C: int, n_rows: int, B: int,
 
 
 def make_bits_matvec_bucket(field: PrimeField, K: int, n_rows: int, B: int,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            out_form: str = "canonical"):
     """Fused bucket matvec for BIT witnesses: x entries are 0/1, F is the
     coefficient digit planes (product digit = coeff digit · bit), so
     chunks of 512 stay exact in fp32 (512·255 < 2²⁴)."""
     return make_fold_matvec_bucket(
-        field, K, n_rows, B, chunk_cap=512, interpret=interpret
+        field, K, n_rows, B, chunk_cap=512, interpret=interpret,
+        out_form=out_form,
     )
 
 
@@ -483,7 +609,8 @@ MAX_FUSED_LIMBS_K = ((1 << 32) // (255 * 255)) // 32  # = 2064
 
 
 def make_limbs_matvec_bucket(field: PrimeField, K: int, n_rows: int, B: int,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             out_form: str = "canonical"):
     """Fused bucket matvec for FIELD-VALUED witnesses.
 
     The modmul disappears into a static linear map: with a static
@@ -503,8 +630,57 @@ def make_limbs_matvec_bucket(field: PrimeField, K: int, n_rows: int, B: int,
     F [32, n_rows, 32K]; output [16, n_rows, B] canonical limbs."""
     assert K <= MAX_FUSED_LIMBS_K, f"row width {K} exceeds fused-limbs bound"
     return make_fold_matvec_bucket(
-        field, 32 * K, n_rows, B, chunk_cap=256, interpret=interpret
+        field, 32 * K, n_rows, B, chunk_cap=256, interpret=interpret,
+        out_form=out_form,
     )
+
+
+def _mulcmp_kernel(consts: _Consts, a_ref, b_ref, c_ref, o_ref):
+    a17 = [a_ref[i] for i in range(SEMI)]
+    b17 = [b_ref[i] for i in range(SEMI)]
+    c17 = [c_ref[i] for i in range(SEMI)]
+    o_ref[...] = _mulcmp_rows(a17, b17, c17, consts)[None]
+
+
+def make_mulcmp(field: PrimeField, interpret: bool = False):
+    """Fused satisfiability compare: semi-reduced az, bz, cz
+    (uint32[17, N] each, N a multiple of TILE) → uint32[N] violation mask
+    (0 = az·bz ≡ cz mod p). One 17×17 convolution + one canonical
+    reduction per element — replaces canonicalizing all three matvec
+    outputs and running a separate full modmul + compare.
+
+    Requires field.NUM_BITS ≥ 250 (the borrow-free −c trick needs
+    p·2^11 to dominate any semi-reduced value)."""
+    assert field.NUM_BITS >= 250, "mulcmp needs p ≥ 2^249"
+    consts = _Consts(field)
+    k = partial(_mulcmp_kernel, consts)
+
+    @jax.jit
+    def run(a, b, c):
+        n = a.shape[1]
+        assert a.shape == b.shape == c.shape == (SEMI, n)
+        assert n % TILE == 0, "pad batch to TILE"
+        grid = (n // TILE,)
+        blk_in = pl.BlockSpec(
+            (SEMI, SUB, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            k,
+            grid=grid,
+            in_specs=[blk_in] * 3,
+            out_specs=pl.BlockSpec(
+                (1, SUB, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((1, n // LANES, LANES), jnp.uint32),
+            interpret=interpret,
+        )(
+            a.reshape(SEMI, n // LANES, LANES),
+            b.reshape(SEMI, n // LANES, LANES),
+            c.reshape(SEMI, n // LANES, LANES),
+        )
+        return out.reshape(n)
+
+    return run
 
 
 def fold_digit_table(field: PrimeField, coeff_table) -> np.ndarray:

@@ -881,8 +881,15 @@ def build_templated_check(
     # + digit reduce run in one Pallas kernel; only the witness gather and
     # the final concat/compare remain in XLA.
     fused = use_pallas and witness_form == "bits" and batch % 128 == 0
+    # The semi-reduced + fused-compare pipeline needs p·2^11 to dominate
+    # any semi value (see make_mulcmp); all shipped fields qualify.
+    semi = template.field.NUM_BITS >= 250
     if fused:
-        from .field_pallas import make_bits_matvec_bucket
+        from .field_pallas import SEMI, make_bits_matvec_bucket, make_mulcmp
+
+        out_form = "semi" if semi else "canonical"
+        out_rows = SEMI if semi else 16
+        mulcmp = make_mulcmp(template.field) if semi else None
 
         lo8 = coeff_limbs_np & np.uint32(0xFF)
         hi8 = (coeff_limbs_np >> 8) & np.uint32(0xFF)
@@ -902,7 +909,9 @@ def build_templated_check(
                         k,
                         start,
                         n_rows,
-                        make_bits_matvec_bucket(template.field, k, n_rows, batch),
+                        make_bits_matvec_bucket(
+                            template.field, k, n_rows, batch, out_form=out_form
+                        ),
                         jax.device_put(cd_b),
                     )
                 )
@@ -917,17 +926,20 @@ def build_templated_check(
             )  # [total, B]
             for k, start, n_rows, kern, cd_b in fused_mats[name]:
                 bv = bv_all[start : start + n_rows * k].reshape(n_rows, k, batch)
-                az_parts.append(kern(bv, cd_b))  # [16, n_rows, B]
-            return jnp.concatenate(az_parts, axis=1)  # [16, Rtp, B]
+                az_parts.append(kern(bv, cd_b))  # [out_rows, n_rows, B]
+            return jnp.concatenate(az_parts, axis=1)  # [out_rows, Rtp, B]
 
         def violations_bits_fused(vals):
             B = vals.shape[0]
             bits_T = vals.T
-            az = matvec_bits_fused("a", bits_T).reshape(16, Rtp * B)
-            bz = matvec_bits_fused("b", bits_T).reshape(16, Rtp * B)
-            cz = matvec_bits_fused("c", bits_T).reshape(16, Rtp * B)
-            lhs = impl.mul_lm(az, bz)
-            bad = jnp.any(lhs != cz, axis=0).reshape(Rtp, B)
+            az = matvec_bits_fused("a", bits_T).reshape(out_rows, Rtp * B)
+            bz = matvec_bits_fused("b", bits_T).reshape(out_rows, Rtp * B)
+            cz = matvec_bits_fused("c", bits_T).reshape(out_rows, Rtp * B)
+            if semi:
+                bad = (mulcmp(az, bz, cz) != 0).reshape(Rtp, B)
+            else:
+                lhs = impl.mul_lm(az, bz)
+                bad = jnp.any(lhs != cz, axis=0).reshape(Rtp, B)
             bad = jnp.take(bad, pos_d, axis=0)
             return bad.T.reshape(B * Rt)
 
@@ -952,7 +964,16 @@ def build_templated_check(
         and total_slots * 4096 < 1.5e9
     )
     if fused_limbs:
-        from .field_pallas import fold_digit_table, make_limbs_matvec_bucket
+        from .field_pallas import (
+            SEMI,
+            fold_digit_table,
+            make_limbs_matvec_bucket,
+            make_mulcmp,
+        )
+
+        fl_out_form = "semi" if semi else "canonical"
+        fl_out_rows = SEMI if semi else 16
+        fl_mulcmp = make_mulcmp(template.field) if semi else None
 
         fd = fold_digit_table(template.field, table)  # [T, 32(j), 32(d)]
         fl_mats = {}
@@ -974,7 +995,8 @@ def build_templated_check(
                         start,
                         n_rows,
                         make_limbs_matvec_bucket(
-                            template.field, k, n_rows, batch
+                            template.field, k, n_rows, batch,
+                            out_form=fl_out_form,
                         ),
                         jax.device_put(F),
                     )
@@ -992,8 +1014,8 @@ def build_templated_check(
                 x = zv[start : start + n_rows * k].reshape(
                     n_rows, k * 32, batch
                 )
-                parts.append(kern(x, F))  # [16, n_rows, B]
-            return jnp.concatenate(parts, axis=1)  # [16, Rtp, B]
+                parts.append(kern(x, F))  # [fl_out_rows, n_rows, B]
+            return jnp.concatenate(parts, axis=1)  # [fl_out_rows, Rtp, B]
 
         def violations_limbs_fused(z3):
             B = z3.shape[0]
@@ -1003,11 +1025,14 @@ def build_templated_check(
                     zt.shape[0], 32, B
                 )
             )
-            az = matvec_limbs_fused("a", zd_all).reshape(16, Rtp * B)
-            bz = matvec_limbs_fused("b", zd_all).reshape(16, Rtp * B)
-            cz = matvec_limbs_fused("c", zd_all).reshape(16, Rtp * B)
-            lhs = impl.mul_lm(az, bz)
-            bad = jnp.any(lhs != cz, axis=0).reshape(Rtp, B)
+            az = matvec_limbs_fused("a", zd_all).reshape(fl_out_rows, Rtp * B)
+            bz = matvec_limbs_fused("b", zd_all).reshape(fl_out_rows, Rtp * B)
+            cz = matvec_limbs_fused("c", zd_all).reshape(fl_out_rows, Rtp * B)
+            if semi:
+                bad = (fl_mulcmp(az, bz, cz) != 0).reshape(Rtp, B)
+            else:
+                lhs = impl.mul_lm(az, bz)
+                bad = jnp.any(lhs != cz, axis=0).reshape(Rtp, B)
             bad = jnp.take(bad, pos_d, axis=0)
             return bad.T.reshape(B * Rt)
 

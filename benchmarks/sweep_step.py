@@ -28,7 +28,7 @@ def main():
     prog = WitnessProgram(tape)
     Rt = template.num_constraints
 
-    configs = [(128, 8), (256, 4), (256, 8), (512, 2), (512, 4), (1024, 1), (1024, 2)]
+    configs = [(128, 8), (256, 4), (512, 2), (1024, 1)]
     for B, n_chunks in configs:
         total_c = n_chunks * B * Rt
         free = jnp.asarray(
