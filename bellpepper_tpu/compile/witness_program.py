@@ -45,6 +45,25 @@ SRC_FREE = 2  # caller-provided free-field limb input
 # uniform (a, b, cond) operand signature, field-row + slot outputs.
 SCAN_OPS = {"fadd": 0, "fmul": 1, "finv": 2, "copy": 3, "select": 4}
 MIN_SCAN_RUN = 4
+MAX_PATTERN = 8  # longest static op pattern folded without a switch
+
+
+def _find_period(opcodes, max_d: int = MAX_PATTERN):
+    """Smallest d ≤ max_d with opcodes[i] == opcodes[i % d] for all i (and
+    d | len) — sequential gadget chains are usually periodic (e.g. config
+    1's mul/add/square ⇒ fmul,fadd,fmul). A periodic run scans over
+    pattern REPETITIONS with d statically-typed ops per body step, which
+    drops the 5-way lax.switch and its per-step dispatch overhead.
+    finv is excluded for d > 1 (its Fermat ladder would inline d times)."""
+    L = len(opcodes)
+    for d in range(1, min(max_d, L) + 1):
+        if L % d:
+            continue
+        if d > 1 and "finv" in set(opcodes[:d]):
+            continue
+        if all(opcodes[i] == opcodes[i % d] for i in range(L)):
+            return d
+    return None
 
 
 def _build_scan_tables(run, F_scratch: int, S_scratch: int):
@@ -405,7 +424,18 @@ class WitnessProgram:
         def flush_run():
             nonlocal run
             if len(run) >= MIN_SCAN_RUN:
-                exec_plan.append(("scan", _build_scan_tables(run, F, S)))
+                pattern = _find_period([st.opcode for st in run])
+                tables = _build_scan_tables(run, F, S)
+                if pattern is not None:
+                    d = pattern
+                    pat_ops = [run[j].opcode for j in range(d)]
+                    tables = {
+                        k: v.reshape((len(run) // d, d) + v.shape[1:])
+                        for k, v in tables.items()
+                    }
+                    exec_plan.append(("scan", (tables, pat_ops)))
+                else:
+                    exec_plan.append(("scan", (tables, None)))
             else:
                 exec_plan.extend(("stage", st) for st in run)
             run = []
@@ -467,9 +497,26 @@ class WitnessProgram:
                     st.arrs[prefix + "_isc"] == 1, st.arrs[prefix + "_cv"], v
                 )
 
-            def scan_run(tables, vals, flimbs):
-                def body(carry, xs):
-                    vals, flimbs = carry
+            def _apply_op(opcode, a, b, cond):
+                if opcode == "fadd":
+                    return be.add(a, b)
+                if opcode == "fmul":
+                    return fmul(a, b)
+                if opcode == "finv":
+                    return be.inv(a)
+                if opcode == "copy":
+                    return a
+                return jnp.where(cond[..., None] == 1, a, b)  # select
+
+            def _write(xs, r, vals, flimbs):
+                flimbs = flimbs.at[:, xs["out_row"]].set(r)
+                vals = vals.at[:, xs["out_slot"]].set(
+                    r[..., 0] | (r[..., 1] << 16)
+                )
+                return vals, flimbs
+
+            def scan_run(tables, pattern, vals, flimbs):
+                def get_operands(xs, vals, flimbs):
                     a = fget_arrays(xs["a_kind"], xs["a_idx"], vals, flimbs)
                     b = fget_arrays(xs["b_kind"], xs["b_idx"], vals, flimbs)
                     cond = jnp.where(
@@ -477,31 +524,45 @@ class WitnessProgram:
                         xs["c_cv"],
                         vals[:, xs["c_idx"]] ^ xs["c_neg"],
                     )
-                    r = jax.lax.switch(
-                        xs["op"],
-                        [
-                            lambda a, b, c: be.add(a, b),
-                            lambda a, b, c: fmul(a, b),
-                            lambda a, b, c: be.inv(a),
-                            lambda a, b, c: a,
-                            lambda a, b, c: jnp.where(c[..., None] == 1, a, b),
-                        ],
-                        a,
-                        b,
-                        cond,
-                    )
-                    flimbs = flimbs.at[:, xs["out_row"]].set(r)
-                    vals = vals.at[:, xs["out_slot"]].set(
-                        r[..., 0] | (r[..., 1] << 16)
-                    )
-                    return (vals, flimbs), None
+                    return a, b, cond
+
+                if pattern is not None:
+                    # Statically-typed body: d ops per step, no switch.
+                    def body(carry, xs):
+                        vals, flimbs = carry
+                        for j, opc in enumerate(pattern):
+                            xj = {k: v[j] for k, v in xs.items()}
+                            a, b, cond = get_operands(xj, vals, flimbs)
+                            r = _apply_op(opc, a, b, cond)
+                            vals, flimbs = _write(xj, r, vals, flimbs)
+                        return (vals, flimbs), None
+
+                else:
+                    def body(carry, xs):
+                        vals, flimbs = carry
+                        a, b, cond = get_operands(xs, vals, flimbs)
+                        r = jax.lax.switch(
+                            xs["op"],
+                            [
+                                lambda a, b, c: be.add(a, b),
+                                lambda a, b, c: fmul(a, b),
+                                lambda a, b, c: be.inv(a),
+                                lambda a, b, c: a,
+                                lambda a, b, c: jnp.where(c[..., None] == 1, a, b),
+                            ],
+                            a,
+                            b,
+                            cond,
+                        )
+                        vals, flimbs = _write(xs, r, vals, flimbs)
+                        return (vals, flimbs), None
 
                 (vals, flimbs), _ = jax.lax.scan(body, (vals, flimbs), tables)
                 return vals, flimbs
 
             for plan_kind, item in exec_plan:
                 if plan_kind == "scan":
-                    vals, flimbs = scan_run(item, vals, flimbs)
+                    vals, flimbs = scan_run(item[0], item[1], vals, flimbs)
                     continue
                 st = item
                 oc = st.opcode
