@@ -129,15 +129,21 @@ def main():
     nb0, _f0 = run_check(z)
     ok = int(nb0) == 0
     t_check_first = time.time() - t0
+    nb0, _f0 = run_check(z)  # second warm run (post-compile settling)
+    ok = ok and int(nb0) == 0
 
+    # Sync on the last rep only — an on-device verdict fold would put one
+    # eager scalar dispatch (~45 ms tunnel round trip) per rep on the
+    # critical path.
     n = 10
     t0 = time.time()
-    acc = None
+    nbs = []
     for _ in range(n):
         nb, _f = run_check(z)
-        acc = nb if acc is None else acc | nb
-    bad = int(acc)
+        nbs.append(nb)
+    jax.block_until_ready(nbs[-1])
     t_check = (time.time() - t0) / n
+    bad = sum(int(x) for x in nbs)
 
     # corruption probe
     zb = z.at[5, 0].set(z[5, 0] ^ 1)

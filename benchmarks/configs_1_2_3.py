@@ -21,15 +21,24 @@ import numpy as np
 
 
 def _measure_step(step, free, reps=6):
+    import jax
+
     total, _ = step(free)  # compile + first
     ok = int(total) == 0
+    total, _ = step(free)  # second warm run (post-compile settling)
+    ok = ok and int(total) == 0
+    # Collect verdicts and sync on the LAST only (the device runs queued
+    # steps in order); an on-device `acc + total` fold would add one eager
+    # scalar dispatch (~45 ms tunnel round trip) per rep to the loop.
     t0 = time.time()
-    acc = None
+    totals = []
     for _ in range(reps):
         total, _f = step(free)
-        acc = total if acc is None else acc + total
-    bad = int(acc)
-    return (time.time() - t0) / reps, ok and bad == 0
+        totals.append(total)
+    jax.block_until_ready(totals[-1])
+    dt = (time.time() - t0) / reps
+    bad = sum(int(t) for t in totals)
+    return dt, ok and bad == 0
 
 
 def _emit(name, template, B, n_chunks, dt, ok, t_synth, extra=None):

@@ -89,12 +89,13 @@ def main():
         assert int(n_bad) == 0
         reps = 10
         t0 = time.time()
-        acc = None
+        nbs = []
         for _ in range(reps):
             nb, _z = step(free)
-            acc = nb if acc is None else acc + nb
-        assert int(acc) == 0
+            nbs.append(nb)
+        jax.block_until_ready(nbs[-1])
         dt = (time.time() - t0) / reps
+        assert sum(int(x) for x in nbs) == 0
         thr = B * template.num_constraints / dt
         if base is None:
             base = thr
@@ -125,12 +126,13 @@ def main():
     assert int(nb) == 0
     reps = 10
     t0 = time.time()
-    acc = None
+    nbs = []
     for _ in range(reps):
         nb, _z = step1(free1)
-        acc = nb if acc is None else acc + nb
-    assert int(acc) == 0
+        nbs.append(nb)
+    jax.block_until_ready(nbs[-1])
     thr1 = B_tot * template.num_constraints / ((time.time() - t0) / reps)
+    assert sum(int(x) for x in nbs) == 0
     spmd_efficiency = 100 * rows[-1]["constraints_per_s"] / thr1
 
     print(
