@@ -29,6 +29,36 @@ from .tape import V_CONST, V_VAR
 _SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
+def _jit_scoped_vmem(fn, limit_kib: int = 65536):
+    """jit with a raised TPU scoped-VMEM limit (per-shape compile cache).
+
+    Programs that hold many live buffers in a scan body (the chained and
+    tree pipelines stack every instance's witness as scan ys) push XLA's
+    memory assignment into placing a fused-kernel output in scoped VMEM;
+    a semi-reduced [17, n_rows, 128] bucket output (~25 MB padded) then
+    exceeds the default 16 MB limit and compilation fails. v5e has 128 MB
+    of VMEM — raise the cap for THESE programs only (a global raise can
+    degrade XLA's prefetch choices elsewhere). Off-TPU: plain jit."""
+    jf = jax.jit(fn)
+    if jax.default_backend() != "tpu":
+        return jf
+    cache = {}
+
+    def wrapped(*args):
+        key = tuple(
+            (tuple(a.shape), jnp.asarray(a).dtype.name) for a in args
+        )
+        c = cache.get(key)
+        if c is None:
+            c = jf.lower(*args).compile(
+                {"xla_tpu_scoped_vmem_limit_kib": str(limit_kib)}
+            )
+            cache[key] = c
+        return c(*args)
+
+    return wrapped
+
+
 def _aggregate(nbs: jnp.ndarray, firsts: jnp.ndarray, chunk_span: int):
     """Combine per-chunk (n_bad, local_first) into a global verdict."""
     total = jnp.sum(nbs)
@@ -226,7 +256,6 @@ def build_chained_production_step(
     )
     span = check_batch * template.num_constraints
 
-    @jax.jit
     def step(init_state, msgs):
         vals_all, final = gen(init_state, msgs)
         T, B, S = vals_all.shape
@@ -243,7 +272,7 @@ def build_chained_production_step(
         total, first = _aggregate(nbs, firsts, span)
         return total, first, final
 
-    return step
+    return _jit_scoped_vmem(step)
 
 
 _STATE_TO_MSG_PERM = np.asarray(
@@ -291,7 +320,6 @@ def build_merkle_tree_step(
         checks[b] = build_templated_check(template, b, use_pallas, "bits")
         b //= 2
 
-    @jax.jit
     def step(leaf_digests):
         assert leaf_digests.shape == (n_leaves, 256)
         d = leaf_digests
@@ -308,7 +336,7 @@ def build_merkle_tree_step(
             d = extract(vals)
         return d[0], total
 
-    return step
+    return _jit_scoped_vmem(step)
 
 
 class PipelinedSatisfier:
