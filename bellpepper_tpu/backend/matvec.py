@@ -178,6 +178,8 @@ def build_row_chunked_eval(
 
     prep = {}
     ell_deg = {}
+    slice_names = set()
+    full_names = set()  # mask all-ones: the pad-zeroing multiply is a no-op
     for name in names:
         m = getattr(r, name)
         _assert_row_density(m.rows, R_, f"matrix {name}")
@@ -212,6 +214,31 @@ def build_row_chunked_eval(
             cids_p = flat_cids.reshape(n_chunks, e_max)
             mask_p = flat_mask.reshape(n_chunks, e_max)
             lrow_p = np.zeros((n_chunks, 1), np.int32)  # unused in ELL
+            # Contiguous identity matrix (e.g. C rows selecting a dense
+            # aux segment, cols = base + row): the per-entry gather — the
+            # dominant cost at ~30 ns/index — collapses to one
+            # dynamic_slice per chunk.
+            used_cids = np.unique(flat_cids[flat_mask == 1])
+            if (
+                deg == 1
+                and bool(flat_mask.all())
+                and all(coeff_vals[int(k)] == 1 for k in used_cids)
+                and bool(
+                    np.array_equal(
+                        flat_cols,
+                        flat_cols[:1] + np.arange(R_, dtype=flat_cols.dtype),
+                    )
+                )
+            ):
+                slice_names.add(name)
+                prep[name] = {
+                    "start": jax.device_put(
+                        (int(flat_cols[0]) + rpc * np.arange(n_chunks)).astype(
+                            np.int32
+                        )
+                    )
+                }
+                continue
         else:
             order = np.argsort(rows_np, kind="stable")
             rows_s = rows_np[order]
@@ -251,9 +278,30 @@ def build_row_chunked_eval(
             src_p[mask_p == 0] = 0
             prep[name]["src"] = jax.device_put(src_p)
             prep[name]["mask"] = jax.device_put(mask_p)
+        if bool(mask_p.all()):
+            full_names.add(name)
     prep["coeff_limbs"] = jax.device_put(
         jnp.asarray(be.to_limbs(r.coeff_table))
     )
+
+    # Premul multiplies run per check/eval CALL: on TPU route them through
+    # the Pallas kernel (570M muls/s) — the jnp schoolbook modmul is
+    # VPU-bound at a few M muls/s and would dominate the whole check.
+    if premul_table and span and jax.default_backend() == "tpu":
+        from .field_pallas import get_pallas_ops
+
+        _pops = get_pallas_ops(r.field)
+
+        def _pm_mul(zk, ck):
+            n = zk.shape[0]
+            al = _pops.to_limb_major(zk)
+            bl = _pops.to_limb_major(jnp.broadcast_to(ck, zk.shape))
+            return _pops.from_limb_major(_pops.mul(al, bl), n)
+
+    else:
+
+        def _pm_mul(zk, ck):
+            return be.mul(zk, jnp.broadcast_to(ck, zk.shape))
 
     def _zsrc(z, cl):
         """Per-call source buffer the scan body gathers from."""
@@ -262,15 +310,33 @@ def build_row_chunked_eval(
         rows = [z]
         for k in sorted(span):
             zk = z[: span[k]]
-            rows.append(be.mul(zk, jnp.broadcast_to(cl[k], zk.shape)))
+            rows.append(_pm_mul(zk, cl[k]))
         return jnp.concatenate(rows, axis=0) if len(rows) > 1 else z
 
-    def _block(zsrc, cl, mx, deg):
+    def _gathered(zsrc, cl, mx, name):
+        """One chunk's per-entry values for matrix `name`, canonical
+        uint32[rpc·deg, 16] (or [rpc, 16] for slice mode). Slice-mode
+        matrices read one contiguous block instead of gathering — the
+        per-entry gather costs ~30 ns/index on v5e and dominates the
+        monolithic check."""
+        if name in slice_names:
+            return jax.lax.dynamic_slice(zsrc, (mx["start"], 0), (rpc, 16))
         if premul_table:
             v = zsrc[mx["src"]]  # pre-multiplied
         else:
             v = be.mul(zsrc[mx["cols"]], cl[mx["cids"]])
-        v = v * mx["mask"][:, None]  # zero padded entries
+        if name in full_names:
+            return v  # no padded entries — skip the mask multiply
+        return v * mx["mask"][:, None]  # zero padded entries
+
+    def _block(zsrc, cl, mx, name):
+        v = _gathered(zsrc, cl, mx, name)
+        if name in slice_names:
+            # deg == 1, identity coeffs — but the canonical contract must
+            # hold even for non-canonical (≥ p) witness values, so keep
+            # the reduction (the gather was the dominant cost, not this).
+            return be._reduce_wide8(be._split8(v))
+        deg = ell_deg.get(name)
         digits = be._split8(v)
         if deg is not None:  # dense ELL reshape-sum
             rowsum = digits.reshape(rpc, deg, digits.shape[-1]).sum(axis=1)
@@ -281,9 +347,43 @@ def build_row_chunked_eval(
         return be._reduce_wide8(rowsum)  # [rpc, 16]
 
     def _blocks(zsrc, cl, xs, nm):
-        return tuple(
-            _block(zsrc, cl, x, ell_deg.get(n)) for n, x in zip(nm, xs)
-        )
+        return tuple(_block(zsrc, cl, x, n) for n, x in zip(nm, xs))
+
+    def _carry16_semi(x):
+        """uint32[rpc, 16] (limbs possibly > 16 bits from row sums) →
+        limb-major semi-reduced uint32[17, rpc]: one carry pass, with the
+        final carry as limb 17. Unrolled (16 limbs) so XLA fuses it with
+        the producing gather/sum instead of materializing scan state."""
+        outs = []
+        carry = None
+        for i in range(16):
+            tot = x[..., i] if carry is None else x[..., i] + carry
+            outs.append(tot & jnp.uint32(0xFFFF))
+            carry = tot >> 16
+        outs.append(carry)
+        return jnp.stack(outs, axis=0)
+
+    # Semi-reduced blocks for the fused mul-compare kernel: plain 16-bit
+    # limb sums + one carry pass replace the 8-bit digit-plane reduction
+    # AND the output canonicalization entirely. Identity-coefficient
+    # entries gather RAW witness values, which the API does not require
+    # to be canonical — bound deg by the worst case (entries < 2^256), so
+    # a row sum stays under the kernel's semi bound p·2^11.
+    _SEMI_MAX_DEG = max(1, (r.field.p << 11) >> 256)
+
+    def _blocks_semi(zsrc, cl, xs, nm):
+        outs = []
+        for n, x in zip(nm, xs):
+            v = _gathered(zsrc, cl, x, n)
+            deg = ell_deg.get(n)
+            if deg is not None and deg > 1:
+                v = v.reshape(rpc, deg, 16).sum(axis=1, dtype=jnp.uint32)
+            outs.append(_carry16_semi(v))
+        return tuple(outs)
+
+    semi_ok = all(n in ell_deg for n in names) and (
+        max((ell_deg[n] for n in names), default=1) <= _SEMI_MAX_DEG
+    )
 
     def eval_fn(z, prep):
         cl = prep["coeff_limbs"]
@@ -299,6 +399,8 @@ def build_row_chunked_eval(
 
     eval_fn._zsrc = _zsrc
     eval_fn._blocks = _blocks
+    eval_fn._blocks_semi = _blocks_semi
+    eval_fn._semi_ok = semi_ok
     eval_fn._rpc = rpc
     return eval_fn, prep
 
@@ -373,12 +475,57 @@ def build_row_chunked_check(
     )
     rpc = eval_fn._rpc
     _zsrc, _blocks = eval_fn._zsrc, eval_fn._blocks
+    want_pallas = (
+        use_pallas
+        if use_pallas is not None
+        else jax.default_backend() == "tpu"
+    )
+    sentinel = jnp.uint32(0xFFFFFFFF)
+
+    from .field_pallas import TILE
+
+    if (
+        want_pallas
+        and eval_fn._semi_ok
+        and rpc % TILE == 0
+        and r.field.NUM_BITS >= 250
+    ):
+        # Fast path: semi-reduced 16-bit limb sums feed the fused
+        # mul-compare kernel — no 8-bit digit planes, no per-matvec
+        # canonicalization, no separate modmul.
+        from .field_pallas import make_mulcmp
+
+        mulcmp = make_mulcmp(r.field)
+        _sblocks = eval_fn._blocks_semi
+
+        def check_fn(z, prep):
+            cl = prep["coeff_limbs"]
+            zsrc = _zsrc(z, cl)
+
+            def body(k, xs):
+                az, bz, cz = _sblocks(zsrc, cl, xs, ("a", "b", "c"))
+                bad = mulcmp(az, bz, cz) != 0  # [rpc]
+                nb = jnp.sum(bad.astype(jnp.uint32))
+                first = jnp.where(
+                    nb > 0,
+                    jnp.argmax(bad).astype(jnp.uint32)
+                    + k.astype(jnp.uint32) * jnp.uint32(rpc),
+                    sentinel,
+                )
+                return k + 1, (nb, first)
+
+            _, (nbs, firsts) = jax.lax.scan(
+                body, jnp.int32(0), (prep["a"], prep["b"], prep["c"])
+            )
+            return jnp.sum(nbs), jnp.min(firsts)
+
+        return check_fn, prep
+
     _mul = _row_block_mul(r, rpc, use_pallas)
 
     def check_fn(z, prep):
         cl = prep["coeff_limbs"]
         zsrc = _zsrc(z, cl)
-        sentinel = jnp.uint32(0xFFFFFFFF)
 
         def body(k, xs):
             az, bz, cz = _blocks(zsrc, cl, xs, ("a", "b", "c"))
