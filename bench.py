@@ -137,5 +137,25 @@ def main():
     print(json.dumps(result))
 
 
+def _main_with_retry():
+    """The axon tunnel occasionally drops a dispatch with UNAVAILABLE /
+    INTERNAL ('TPU worker process crashed or restarted'); a clean retry
+    on an idle device succeeds. Retry ONCE so a transient flake doesn't
+    record a failed benchmark run."""
+    try:
+        return main()
+    except Exception as e:  # noqa: BLE001 — retry only infra flakes
+        name = type(e).__name__
+        msg = str(e)
+        transient = "JaxRuntimeError" in name and (
+            "UNAVAILABLE" in msg or "INTERNAL" in msg
+        )
+        if not transient:
+            raise
+        print(f"# transient TPU error, retrying once: {msg[:120]}", file=sys.stderr)
+        time.sleep(10)
+        return main()
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_with_retry())

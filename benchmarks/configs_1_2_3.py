@@ -207,7 +207,10 @@ def config3():
     prog = WitnessProgram(tape)
     t_synth = time.time() - t0
 
-    B = max(128, ((1 << 16) // template.num_constraints) // 128 * 128)
+    # Bigger steps amortize the per-chunk scan latency: 256-inst chunks
+    # measured 128M c/s, 2048-inst chunks 247M (the template is ~228
+    # rows, so even 2048 instances are < 2^19 constraints per chunk).
+    B = max(128, ((1 << 19) // template.num_constraints) // 128 * 128)
     n_chunks = 16
     step = build_production_step(prog, template, B)
     free = jnp.asarray(
