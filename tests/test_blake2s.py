@@ -95,3 +95,27 @@ def test_personalization_changes_digest():
     d2 = gadget_blake2s(cs2, data, b"87654321")
     assert d1 != d2
     assert d2 == hashlib.blake2s(data, digest_size=32, person=b"87654321").digest()
+
+
+def test_blake2s_256_vars_reference_vector():
+    """The reference's pinned 256-byte fixture (blake2s.rs:559-607):
+    gadget digest must equal the hex expected there (also cross-checked
+    against hashlib at build time — the data/digest are public blake2s
+    test vectors, not code)."""
+    data = bytes.fromhex(
+        "be9f9c485e670acce8b1516a378176161b20583637b6f1c536fbc1158a0a3296"
+        "831df2920e57a442d5738f4be4dd6be89dd7913fc8b4d1c0a815646a4d674b77"
+        "f7caf313bd880bf759fcac27037c48c2b2a20acd2fd5248e3be426c84a341c0a"
+        "3c63eaf36e0d537d10b8db5c6e4c801832c41eb1a3ed602177acded8b4b803bd"
+        "34339d99a18b71df399641cc8dfae2ad193fcd74b5913e704551777160d14c78"
+        "f2e8d5c32716a8599c1080cb89a40ccd6ba596694a8b4a065d9f2d0667ef423e"
+        "d2e418093caff884540858b4f4b62acd47edcea880523e1b1cda8eb225c128c2"
+        "e9e83f14f6e7448c5733a195cac7d79a53dde5083172462c45b2f799e42af1c9"
+    )
+    assert len(data) == 256
+    expected = "0af5695115ced92c8a0341e43869209636e9aa6472e4576f0f2b996cf812b30e"
+    assert hashlib.blake2s(data, person=PERSON).hexdigest() == expected
+    cs = TestConstraintSystem()
+    got = gadget_blake2s(cs, data)
+    assert cs.is_satisfied()
+    assert got.hex() == expected

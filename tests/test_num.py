@@ -167,3 +167,24 @@ def test_num_accumulator_zero_constraints():
 
     added = num.add(scaled)
     assert added.get_value() == (num.get_value() * 4) % P
+
+
+def test_allocated_infallible_num():
+    """alloc_infallible (num.rs:714-721): plain-value allocation, value
+    retrievable by path."""
+    cs = TestConstraintSystem()
+    AllocatedNum.alloc_infallible(cs, 1)
+    assert cs.get("num") == 1
+
+
+def test_num_partial_addition():
+    """Num.add with missing values propagates None; zero+zero keeps
+    Some(0) (num.rs test_num_partial_addition)."""
+    from bellpepper_tpu.lc import LinearCombination
+
+    a = Num.zero(SCALAR)
+    b = Num(SCALAR, None, LinearCombination(SCALAR))
+    assert a.add(b).get_value() is None
+    assert b.add(a).get_value() is None
+    assert b.add(b).get_value() is None
+    assert a.add(a).get_value() == 0
