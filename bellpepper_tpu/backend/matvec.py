@@ -964,11 +964,108 @@ def _build_shared_ell(template: R1CS, zero_id: int):
     return layouts, pos_of_row.astype(np.int32), padded_rows
 
 
+# Small-row fast path for the bits witness form: with z values in {0, 1}
+# (the bits contract), a row whose SIGNED coefficient magnitudes satisfy
+# (Σ|a_i|)·(Σ|b_i|) < 2^31 and Σ|c_i| < 2^31 can be checked EXACTLY over
+# the integers in int32 — no value can reach the modulus, so a·b = c over
+# ℤ iff over 𝔽_p. One i32 multiply per row-instance replaces a 17-limb
+# modmul-compare (~289 VPU multiplies). In sha256/blake2s templates 99.9%
+# of rows qualify (booleanity, xor, ch, maj); only the capacity-packed
+# MultiEq rows need the full kernel. This is the TPU shape of the
+# reference's coeff==1 skip-mul optimization (lc.rs:245-267).
+_SMALL_ROW_BOUND = 1 << 31
+
+
+def _classify_small_rows(template: R1CS):
+    """(small_idx, big_idx, layouts) for the bits-form row partition, or
+    None when fewer than half the rows qualify (not worth two pipelines).
+    layouts[name] = (cols [n_small, K], signed_coeffs [n_small, K])."""
+    p = template.field.p
+    R = template.num_constraints
+    sv = []
+    for c in template.coeff_table:
+        v = int(c) % p
+        sv.append(v if v <= p // 2 else v - p)
+    # |sv| clipped to 2^40 — only the < 2^31 comparison matters, and the
+    # clip keeps int64 row sums overflow-free for any row density.
+    absw = np.asarray([min(abs(s), 1 << 40) for s in sv], np.int64)
+    bound = {}
+    for name in ("a", "b", "c"):
+        m = getattr(template, name)
+        b = np.zeros(R, np.int64)
+        np.add.at(b, np.asarray(m.rows), absw[np.asarray(m.coeff_ids)])
+        bound[name] = b
+    small = (
+        bound["a"].astype(np.float64) * bound["b"].astype(np.float64)
+        < _SMALL_ROW_BOUND
+    ) & (bound["c"] < _SMALL_ROW_BOUND)
+    n_small = int(small.sum())
+    if n_small <= R // 2:
+        return None
+    small_idx = np.nonzero(small)[0].astype(np.int32)
+    big_idx = np.nonzero(~small)[0].astype(np.int32)
+    small_pos = np.full(R, -1, np.int64)
+    small_pos[small_idx] = np.arange(n_small)
+    sv32 = np.asarray([int(s) if abs(s) < (1 << 31) else 0 for s in sv],
+                      np.int32)
+    layouts = {}
+    for name in ("a", "b", "c"):
+        m = getattr(template, name)
+        rows = np.asarray(m.rows)
+        sel = small[rows]
+        r_s = small_pos[rows[sel]]
+        c_s = np.asarray(m.cols)[sel]
+        s_s = sv32[np.asarray(m.coeff_ids)[sel]]
+        deg = np.bincount(r_s, minlength=n_small)
+        K = max(int(deg.max()) if n_small else 0, 1)
+        order = np.lexsort((np.arange(len(r_s)), r_s))
+        slot = np.arange(len(r_s)) - np.repeat(
+            np.concatenate(([0], np.cumsum(deg)[:-1])), deg
+        )
+        colp = np.zeros((n_small, K), np.int32)
+        scop = np.zeros((n_small, K), np.int32)
+        colp[r_s[order], slot] = c_s[order]
+        scop[r_s[order], slot] = s_s[order]
+        layouts[name] = (colp, scop)
+    return small_idx, big_idx, layouts
+
+
+def _sub_rows_r1cs(template: R1CS, keep_idx: np.ndarray) -> R1CS:
+    """The sub-system containing only rows `keep_idx` (renumbered)."""
+    from ..r1cs import COOMatrix
+
+    R = template.num_constraints
+    pos = np.full(R, -1, np.int64)
+    pos[keep_idx] = np.arange(len(keep_idx))
+
+    def f(m):
+        rows = np.asarray(m.rows)
+        sel = pos[rows] >= 0
+        return COOMatrix(
+            rows=pos[rows[sel]].astype(np.int64),
+            cols=np.asarray(m.cols)[sel],
+            coeff_ids=np.asarray(m.coeff_ids)[sel],
+        )
+
+    return R1CS(
+        field=template.field,
+        num_inputs=template.num_inputs,
+        num_aux=template.num_aux,
+        num_constraints=len(keep_idx),
+        a=f(template.a),
+        b=f(template.b),
+        c=f(template.c),
+        coeff_table=list(template.coeff_table),
+        names=None,
+    )
+
+
 def build_templated_check(
     template: R1CS,
     batch: int,
     use_pallas: bool,
     witness_form: str = "limbs",
+    _partition: bool = True,
 ):
     """Core of the templated satisfiability check (see TemplatedSatisfier).
 
@@ -977,7 +1074,10 @@ def build_templated_check(
       * "bits"  — z given as uint32[B, S_t] with every value 0 or 1
         (pure-bit circuits like the hash gadgets): entry products reduce
         to coefficient-digit masking, skipping the modmul entirely, and
-        the whole pipeline stays limb-major with no transposes.
+        the whole pipeline stays limb-major with no transposes. Rows with
+        small signed-coefficient bounds are checked exactly in int32 (see
+        _classify_small_rows); only the rest (e.g. MultiEq packed rows)
+        run the full limb pipeline.
 
     Returns an UNJITTED function z → bool[B·Rt] violation mask in the
     ORIGINAL row order (instances major), suitable for jit or shard_map."""
@@ -985,6 +1085,53 @@ def build_templated_check(
     # instance's slot 0 is its ONE); a trivial batch of 1 covers any
     # R1CS, inputs included.
     assert template.num_inputs == 1 or batch == 1, "templates must be input-free"
+
+    Rt0 = template.num_constraints
+    if witness_form == "bits" and Rt0 and _partition:
+        part = _classify_small_rows(template)
+        if part is not None:
+            small_idx, big_idx, layouts = part
+            n_small, n_big = len(small_idx), len(big_idx)
+            big_viol = (
+                build_templated_check(
+                    _sub_rows_r1cs(template, big_idx),
+                    batch,
+                    use_pallas,
+                    "bits",
+                    _partition=False,
+                )
+                if n_big
+                else None
+            )
+            dev_small = {
+                name: (jax.device_put(colp), jax.device_put(scop))
+                for name, (colp, scop) in layouts.items()
+            }
+            inv = np.empty(Rt0, np.int32)
+            inv[np.concatenate([small_idx, big_idx])] = np.arange(
+                Rt0, dtype=np.int32
+            )
+            inv_d = jax.device_put(inv)
+
+            def violations_split(vals):
+                B = vals.shape[0]
+                bits_T = vals.T.astype(jnp.int32)  # [S_t, B], values 0/1
+                evs = []
+                for name in ("a", "b", "c"):
+                    colp, scop = dev_small[name]
+                    ns, K = colp.shape
+                    v = bits_T[colp.reshape(-1)].reshape(ns, K, B)
+                    evs.append(jnp.sum(v * scop[:, :, None], axis=1))
+                bad_small = (evs[0] * evs[1]) != evs[2]  # [n_small, B]
+                if big_viol is not None:
+                    bad_big = big_viol(vals).reshape(B, n_big)
+                    comb = jnp.concatenate([bad_small.T, bad_big], axis=1)
+                else:
+                    comb = bad_small.T
+                # back to original row order, instances major
+                return jnp.take(comb, inv_d, axis=1).reshape(B * Rt0)
+
+            return violations_split
     be = get_backend(template.field)
     impl = _PallasAdapter(template.field) if use_pallas else _JnpAdapter(template.field)
 
