@@ -51,10 +51,12 @@ def main():
     t_synth = time.time() - t0
     assert prog.is_pure_bits
 
-    # One production step = 8 chunks x 128 instances (27M constraints),
-    # all inside a single jitted lax.scan.
-    B = 128
-    n_chunks = 8
+    # One production step = 2 chunks x 512 instances (27M constraints),
+    # all inside a single jitted lax.scan. With the small-row int32 check
+    # the step is witness-generation-bound, and fewer/bigger chunks cut
+    # the per-op launch count (128x8 = 623M c/s, 512x2 = 1251M measured).
+    B = 512
+    n_chunks = 2
     total_constraints = n_chunks * B * template.num_constraints
     free = jnp.asarray(
         rng.integers(0, 2, size=(n_chunks, B, 512)).astype(np.uint32)
