@@ -5,9 +5,9 @@ one tree level).
 
 Template = one compression (native C++ synthesis); batch = 1024 instances.
 Witness generation AND satisfiability run as ONE jitted production step
-(lax.scan over 128-instance chunks — compile/pipeline.py; full-batch
-digit intermediates would exceed HBM, and one dispatch amortizes the
-tunnel's fixed cost).
+(lax.scan over 512-instance chunks — compile/pipeline.py; chunking keeps
+peak HBM bounded, one dispatch amortizes the tunnel's fixed cost, and
+bigger chunks cut the per-op launch count of the witness stages).
 
 Usage: python benchmarks/config4_merkle_1024.py [n_blocks] [chunk]"""
 
@@ -23,7 +23,7 @@ import numpy as np
 
 def main():
     n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 
     import jax
     import jax.numpy as jnp
