@@ -147,24 +147,44 @@ def build_row_chunked_eval(
     Reference hot loop: test_cs.rs:239-253 (eval per constraint row)."""
     be = get_backend(r.field)
     R_ = r.num_constraints
-    assert R_ % n_chunks == 0, "num_constraints must divide n_chunks"
+    if R_ == 0:
+        # No constraints: empty eval, vacuous check/product.
+        def eval_fn(z, prep):
+            e = jnp.zeros((0, 16), jnp.uint32)
+            return tuple(e for _ in names)
+
+        eval_fn._rpc = 0
+        eval_fn._semi_ok = False
+        eval_fn._zsrc = lambda z, cl: z
+        eval_fn._blocks = None
+        eval_fn._blocks_semi = None
+        return eval_fn, {}
+    if n_chunks <= 0 or R_ % n_chunks:
+        raise ValueError(
+            f"n_chunks ({n_chunks}) must evenly divide num_constraints ({R_})"
+        )
     rpc = R_ // n_chunks
     N = r.num_inputs + r.num_aux  # == len(z) rows (input 0 is ONE)
     coeff_vals = [c % r.field.p for c in r.coeff_table]
 
     # Column span touched by each non-trivial coefficient, across all
-    # requested matrices — premul only covers z[:span_k].
+    # requested matrices — premul only covers z[:span_k]. One pass per
+    # matrix (np.maximum.at), not one pass per table entry.
     span = {}
-    for name in names:
-        m = getattr(r, name)
-        cids = np.asarray(m.coeff_ids)
-        cols = np.asarray(m.cols)
-        for k, cv in enumerate(coeff_vals):
-            if cv in (0, 1):
+    n_table = len(coeff_vals)
+    nontrivial = np.asarray([cv not in (0, 1) for cv in coeff_vals])
+    if premul_table is None or premul_table:
+        for name in names:
+            m = getattr(r, name)
+            cids = np.asarray(m.coeff_ids)
+            cols = np.asarray(m.cols)
+            sel = nontrivial[cids]
+            if not sel.any():
                 continue
-            sel = cids == k
-            if sel.any():
-                span[k] = max(span.get(k, 0), int(cols[sel].max()) + 1)
+            mx = np.full(n_table, -1, np.int64)
+            np.maximum.at(mx, cids[sel], cols[sel].astype(np.int64))
+            for k in np.nonzero(mx >= 0)[0]:
+                span[int(k)] = max(span.get(int(k), 0), int(mx[k]) + 1)
     sum_span = sum(span.values())
     if premul_table is None:
         premul_table = (
@@ -201,9 +221,6 @@ def build_row_chunked_eval(
             )
             pos = rows_s * deg + slot  # dense ELL position of each entry
             e_max = rpc * deg
-            cols_p = np.zeros((n_chunks, e_max), np.int32)
-            cids_p = np.zeros((n_chunks, e_max), np.int32)
-            mask_p = np.zeros((n_chunks, e_max), np.uint32)
             flat_cols = np.zeros(R_ * deg, np.int32)
             flat_cids = np.zeros(R_ * deg, np.int32)
             flat_mask = np.zeros(R_ * deg, np.uint32)
@@ -220,7 +237,8 @@ def build_row_chunked_eval(
             # dynamic_slice per chunk.
             used_cids = np.unique(flat_cids[flat_mask == 1])
             if (
-                deg == 1
+                R_ > 0
+                and deg == 1
                 and bool(flat_mask.all())
                 and all(coeff_vals[int(k)] == 1 for k in used_cids)
                 and bool(
@@ -259,25 +277,30 @@ def build_row_chunked_eval(
                 cids_p[k, :n] = cids_s[s:e]
                 lrow_p[k, :n] = rows_s[s:e] - k * rpc
                 mask_p[k, :n] = 1
-        prep[name] = {
-            "cols": jax.device_put(cols_p),
-            "cids": jax.device_put(cids_p),
-            "lrow": jax.device_put(lrow_p),
-            "mask": jax.device_put(mask_p),
-        }
+        entry = {"lrow": jax.device_put(lrow_p)}
         if premul_table:
             # host-side remap: identity → col, zero → masked out,
-            # non-trivial → its premul slice
-            cvals = np.asarray(coeff_vals, object)[cids_p]
-            src_p = cols_p.copy()
-            mask_p = mask_p.copy()
+            # non-trivial → its premul slice. One lookup-table pass; the
+            # raw cols/cids are never read on device in premul mode, so
+            # they are not uploaded (at 2^24 entries they would pin
+            # ~130 MB of dead HBM per matrix).
+            off_lut = np.zeros(n_table, np.int64)
             for k in span:
-                sel = cids_p == k
-                src_p[sel] = cols_p[sel] + offset[k]
-            mask_p[cvals == 0] = 0
+                off_lut[k] = offset[k]
+            is_zero = np.asarray([cv == 0 for cv in coeff_vals])
+            src_p = (cols_p.astype(np.int64) + off_lut[cids_p]).astype(
+                np.int32
+            )
+            mask_p = mask_p.copy()
+            mask_p[is_zero[cids_p]] = 0
             src_p[mask_p == 0] = 0
-            prep[name]["src"] = jax.device_put(src_p)
-            prep[name]["mask"] = jax.device_put(mask_p)
+            entry["src"] = jax.device_put(src_p)
+            entry["mask"] = jax.device_put(mask_p)
+        else:
+            entry["cols"] = jax.device_put(cols_p)
+            entry["cids"] = jax.device_put(cids_p)
+            entry["mask"] = jax.device_put(mask_p)
+        prep[name] = entry
         if bool(mask_p.all()):
             full_names.add(name)
     prep["coeff_limbs"] = jax.device_put(
@@ -305,6 +328,12 @@ def build_row_chunked_eval(
 
     def _zsrc(z, cl):
         """Per-call source buffer the scan body gathers from."""
+        if z.shape[0] != N:
+            raise ValueError(
+                f"z has {z.shape[0]} rows; expected num_inputs + num_aux "
+                f"= {N} (a padded z would silently shift every premul "
+                f"gather offset)"
+            )
         if not premul_table:
             return z
         rows = [z]
@@ -438,6 +467,8 @@ def build_row_chunked_product(
     difference between fitting and OOM at 2^24 rows.
 
     Returns (prod_fn, prep); prod_fn(z, prep) → uint32[R, 16]."""
+    if r.num_constraints == 0:
+        return (lambda z, prep: jnp.zeros((0, 16), jnp.uint32)), {}
     eval_fn, prep = build_row_chunked_eval(
         r, n_chunks, names=("a", "b"), premul_table=premul_table
     )
@@ -470,6 +501,10 @@ def build_row_chunked_check(
     materialized beyond the scan's per-block temporaries.
 
     Returns (check_fn, prep); check_fn(z, prep) → (n_bad, first_row)."""
+    if r.num_constraints == 0:
+        return (
+            lambda z, prep: (jnp.uint32(0), jnp.uint32(0xFFFFFFFF))
+        ), {}
     eval_fn, prep = build_row_chunked_eval(
         r, n_chunks, premul_table=premul_table
     )
@@ -569,10 +604,14 @@ def _assert_row_density(rows: np.ndarray, num_rows: int, what: str) -> None:
     if len(rows) == 0:
         return
     max_nnz = int(np.bincount(rows, minlength=num_rows).max())
-    assert max_nnz <= MAX_ROW_NNZ, (
-        f"{what}: a row has {max_nnz} entries; the digit accumulation is "
-        f"exact only up to {MAX_ROW_NNZ} entries per row"
-    )
+    # A real exception, not `assert`: this guards numerical EXACTNESS (a
+    # denser row silently overflows the uint32 digit accumulation and
+    # corrupts the satisfiability verdict) and must survive `python -O`.
+    if max_nnz > MAX_ROW_NNZ:
+        raise ValueError(
+            f"{what}: a row has {max_nnz} entries; the digit accumulation "
+            f"is exact only up to {MAX_ROW_NNZ} entries per row"
+        )
 
 
 class EllMatrix(NamedTuple):
@@ -751,6 +790,12 @@ class Satisfier:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+
+        if r1cs.num_constraints == 0:
+            # Vacuously satisfied; the dense pipelines cannot produce
+            # empty masks (argmax/concatenate on zero-length arrays).
+            self._check = lambda z: (jnp.asarray(False), jnp.asarray(0))
+            return
 
         if use_pallas:
             # Route through the shared-perm templated machinery with a
@@ -1084,7 +1129,15 @@ def build_templated_check(
     # Multi-instance batching requires input-free templates (each
     # instance's slot 0 is its ONE); a trivial batch of 1 covers any
     # R1CS, inputs included.
-    assert template.num_inputs == 1 or batch == 1, "templates must be input-free"
+    if not (template.num_inputs == 1 or batch == 1):
+        raise ValueError("multi-instance templates must be input-free")
+
+    if template.num_constraints == 0:
+        # Vacuously satisfied — return an empty mask of static length 0.
+        def violations_empty(vals):
+            return jnp.zeros((0,), bool)
+
+        return violations_empty
 
     Rt0 = template.num_constraints
     if witness_form == "bits" and Rt0 and _partition:
@@ -1142,7 +1195,6 @@ def build_templated_check(
         zero_id = len(table)
         table.append(0)
     coeff_limbs_np = be.to_limbs(table)
-    coeff_limbs = jax.device_put(coeff_limbs_np)
     # 8-bit digit planes of the coefficient table, limb-major [32, K].
     lo = coeff_limbs_np & np.uint32(0xFF)
     hi = (coeff_limbs_np >> 8) & np.uint32(0xFF)
@@ -1152,14 +1204,23 @@ def build_templated_check(
     Rt = template.num_constraints
     pos_d = jax.device_put(pos_of_row)
     # Per-matrix device-resident index data + precomputed coefficient-digit
-    # planes (static gathers folded on host).
+    # planes (static gathers folded on host). Only the buffers the chosen
+    # path reads are uploaded: the fused paths build their own per-bucket
+    # tables and read just "cols"; "cd" feeds the non-fused bits path and
+    # "coeffs" the non-fused limbs path (~192 B/slot of dead HBM
+    # otherwise).
+    _fused_bits = use_pallas and witness_form == "bits" and batch % 128 == 0
     dev = {}
     for name, m in mats.items():
-        dev[name] = {
-            "cols": jax.device_put(np.asarray(m.cols)),
-            "coeffs": jax.device_put(coeff_limbs_np[np.asarray(m.coeff_ids)]),
-            "cd": jax.device_put(coeff_digits_lm[:, np.asarray(m.coeff_ids)].copy()),
-        }
+        dev[name] = {"cols": jax.device_put(np.asarray(m.cols))}
+        if witness_form == "bits" and not _fused_bits:
+            dev[name]["cd"] = jax.device_put(
+                coeff_digits_lm[:, np.asarray(m.coeff_ids)].copy()
+            )
+        elif witness_form == "limbs":
+            # the fused-limbs decision needs the ELL layouts and is made
+            # below; upload lazily there if the jnp path is taken
+            dev[name]["_cids"] = np.asarray(m.coeff_ids)
 
     def bucket_rowsums_bm(mat: EllMatrix, digits, B):
         """Batch-minor bucket sums: digits [32, total, B] → [32, Rt, B]."""
@@ -1257,6 +1318,14 @@ def build_templated_check(
         )
         and total_slots * 4096 < 1.5e9
     )
+    if witness_form == "limbs" and not fused_limbs:
+        for name in dev:
+            dev[name]["coeffs"] = jax.device_put(
+                coeff_limbs_np[dev[name].pop("_cids")]
+            )
+    else:
+        for name in dev:
+            dev[name].pop("_cids", None)
     if fused_limbs:
         from .field_pallas import (
             SEMI,

@@ -113,7 +113,7 @@ def test_row_density_guard():
     from bellpepper_tpu.backend.matvec import MAX_ROW_NNZ, _assert_row_density
 
     rows = np.zeros(MAX_ROW_NNZ + 1, np.int32)  # all entries in row 0
-    with pytest.raises(AssertionError, match="entries per row"):
+    with pytest.raises(ValueError, match="entries per row"):
         _assert_row_density(rows, 1, "matrix a")
     _assert_row_density(rows[:MAX_ROW_NNZ], 1, "matrix a")
 

@@ -137,3 +137,41 @@ def test_semi_check_path_interpret():
     azb, bzb, czb = ef._blocks_semi(zsrc_b, cl, xs0, ("a", "b", "c"))
     badb = mulcmp(azb, bzb, czb)
     assert int(jnp.argmax(badb != 0)) == 3
+
+
+def test_zero_constraint_system_vacuously_satisfied():
+    """A constraint-free R1CS must report satisfied everywhere instead of
+    crashing on empty argmax/concat (review finding)."""
+    from bellpepper_tpu.backend.matvec import (
+        Satisfier,
+        build_row_chunked_product,
+        build_templated_check,
+    )
+    from bellpepper_tpu.r1cs import COOMatrix, R1CS
+
+    e = COOMatrix(
+        rows=np.zeros(0, np.int64),
+        cols=np.zeros(0, np.int64),
+        coeff_ids=np.zeros(0, np.int64),
+    )
+    r0 = R1CS(
+        field=SCALAR,
+        num_inputs=1,
+        num_aux=3,
+        num_constraints=0,
+        a=e,
+        b=e,
+        c=e,
+        coeff_table=[1],
+        names=None,
+    )
+    be = get_backend(SCALAR)
+    z = jnp.asarray(be.to_limbs([1, 5, 6, 7]))
+    assert Satisfier(r0, use_pallas=False).is_satisfied(z)
+    chk, prep = build_row_chunked_check(r0, 1)
+    nb, _f = chk(z, prep)
+    assert int(nb) == 0
+    prod, prep2 = build_row_chunked_product(r0, 1)
+    assert prod(z, prep2).shape == (0, 16)
+    viol = build_templated_check(r0, 1, False, "limbs")
+    assert viol(z[None]).shape == (0,)
