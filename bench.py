@@ -141,9 +141,14 @@ def main():
 
 def _main_with_retry():
     """The axon tunnel occasionally drops a dispatch with UNAVAILABLE /
-    INTERNAL ('TPU worker process crashed or restarted'); a clean retry
-    on an idle device succeeds. Retry ONCE so a transient flake doesn't
-    record a failed benchmark run."""
+    INTERNAL ('TPU worker process crashed or restarted'). Once the worker
+    has crashed, the in-process PJRT client is dead — every subsequent
+    call fails — so the retry must be a FRESH PROCESS: re-exec this
+    script (up to 2 retries, with a pause for the worker to restart).
+    The persistent compile cache makes the retried run start fast."""
+    import os
+
+    attempt = int(os.environ.get("BP_BENCH_ATTEMPT", "0"))
     try:
         return main()
     except Exception as e:  # noqa: BLE001 — retry only infra flakes
@@ -152,11 +157,17 @@ def _main_with_retry():
         transient = "JaxRuntimeError" in name and (
             "UNAVAILABLE" in msg or "INTERNAL" in msg
         )
-        if not transient:
+        if not transient or attempt >= 2:
             raise
-        print(f"# transient TPU error, retrying once: {msg[:120]}", file=sys.stderr)
-        time.sleep(10)
-        return main()
+        print(
+            f"# transient TPU error (attempt {attempt}), re-exec'ing fresh "
+            f"process: {msg[:120]}",
+            file=sys.stderr,
+        )
+        sys.stderr.flush()
+        time.sleep(20)
+        os.environ["BP_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
 
 
 if __name__ == "__main__":
