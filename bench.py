@@ -154,8 +154,15 @@ def _main_with_retry():
     except Exception as e:  # noqa: BLE001 — retry only infra flakes
         name = type(e).__name__
         msg = str(e)
+        # Only retry genuine infra flakes: UNAVAILABLE, or INTERNAL paired
+        # with a worker-crash phrase. A bare INTERNAL can be a deterministic
+        # XLA compiler error — re-exec'ing those just wastes 2x20s.
         transient = "JaxRuntimeError" in name and (
-            "UNAVAILABLE" in msg or "INTERNAL" in msg
+            "UNAVAILABLE" in msg
+            or (
+                "INTERNAL" in msg
+                and ("crashed" in msg or "restarted" in msg or "socket" in msg)
+            )
         )
         if not transient or attempt >= 2:
             raise
@@ -167,7 +174,10 @@ def _main_with_retry():
         sys.stderr.flush()
         time.sleep(20)
         os.environ["BP_BENCH_ATTEMPT"] = str(attempt + 1)
-        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+        os.execv(
+            sys.executable,
+            [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
+        )
 
 
 if __name__ == "__main__":

@@ -20,7 +20,6 @@ def main():
 
     from bellpepper_tpu.compile.pipeline import (
         build_chunked_check,
-        build_chunked_witness,
         build_production_step,
     )
     from bellpepper_tpu.compile.tape import TapeCS

@@ -54,6 +54,10 @@ def main():
     print("z3", z3.shape)
 
     # Rebuild the internals the same way build_templated_check does.
+    # NOTE: this hand-copies matvec.py's fused_limbs prep (zero_id handling,
+    # digit relayout, per-bucket F matrices) and hard-codes the 'semi'
+    # out_form + mulcmp, which is only valid for fields with NUM_BITS >= 250.
+    # If matvec.py's fused_limbs block changes layout, update this probe.
     from bellpepper_tpu.backend import matvec as mv
     from bellpepper_tpu.backend.field_pallas import (
         SEMI,
@@ -64,6 +68,7 @@ def main():
     from bellpepper_tpu.backend.field_jnp import get_backend
 
     be = get_backend(template.field)
+    assert template.field.NUM_BITS >= 250, "semi/mulcmp path needs >=250-bit field"
     table = list(template.coeff_table)
     zero_id = table.index(0) if 0 in table else len(table)
     if zero_id == len(table):
