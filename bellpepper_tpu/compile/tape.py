@@ -114,6 +114,12 @@ class TapeCS(ConstraintSystem):
             args = [self._view(cond), self.slot_of(x), self.slot_of(y)]
         elif opcode == "pack":
             args = [self._view(b) for b in operands]
+        elif opcode == "lookup":
+            # operands: (index bits LSB-first as Booleans, 2^k field consts).
+            # The gadget folds any conditional negation into the table
+            # (lookup.rs:122-187's sign bit becomes the top index bit).
+            bits, table = operands
+            args = ([self._view(b) for b in bits], tuple(int(t) for t in table))
         elif opcode in ("num_iszero", "num_inv_or_one"):
             (num,) = operands
             terms = []
@@ -155,6 +161,12 @@ class TapeCS(ConstraintSystem):
                 args = [(ck, R(cs_) if ck == V_VAR else cs_, cn), R(x), R(y)]
             elif oc in ("num_iszero", "num_inv_or_one"):
                 args = [(coeff, R(s)) for (coeff, s) in op.args]
+            elif oc == "lookup":
+                views, table = op.args
+                args = (
+                    [(k, R(s) if k == V_VAR else s, n) for (k, s, n) in views],
+                    table,
+                )
             else:  # pragma: no cover
                 raise AssertionError(oc)
             resolved.append(Op(oc, outs, args))

@@ -34,7 +34,7 @@ from .tape import V_CONST, V_VAR, Op, TapeCS
 BIT_OUT_OPS = {"xor", "and", "and_not", "nor", "ch", "maj", "addmany",
                "num_iszero", "fbits_le"}
 FIELD_OUT_OPS = {"fadd", "fmul", "finv", "copy", "pack", "num_inv_or_one",
-                 "select"}
+                 "select", "lookup"}
 
 # field-operand source kinds
 SRC_ROW = 0  # flimbs row
@@ -184,6 +184,8 @@ class WitnessProgram:
                 return out
             if oc in ("num_iszero", "num_inv_or_one"):
                 return [s for (_c, s) in op.args]
+            if oc == "lookup":
+                return [s for (k, s, _n) in op.args[0] if k == V_VAR]
             raise AssertionError(oc)
 
         unique_ops: List[Op] = op_list
@@ -225,6 +227,8 @@ class WitnessProgram:
                 key = (lv, oc, len(op.outs))
             elif oc in ("pack", "num_iszero", "num_inv_or_one"):
                 key = (lv, oc, len(op.args))
+            elif oc == "lookup":
+                key = (lv, oc, len(op.args[0]))
             else:
                 key = (lv, oc)
             groups[key].append(op)
@@ -348,6 +352,29 @@ class WitnessProgram:
                         np.asarray([op.outs for op in batch], np.int32),
                         arrs,
                         meta=len(batch[0].outs),
+                    )
+                )
+            elif oc == "lookup":
+                # views [W, nb] index bits + per-op constant tables
+                # [W, 2^nb, 16] (already limb-decomposed on host).
+                arrs = views_to_arrays([op.args[0] for op in batch])
+                arrs["table"] = np.stack(
+                    [
+                        self.backend.to_limbs(list(op.args[1]))
+                        for op in batch
+                    ]
+                )
+                arrs["out_slots"] = np.asarray(
+                    [op.outs[0] for op in batch], np.int32
+                )
+                stages.append(
+                    _Stage(
+                        oc,
+                        np.asarray(
+                            [field_rows[op.outs[0]] for op in batch], np.int32
+                        ),
+                        arrs,
+                        meta=len(batch[0].args[0]),
                     )
                 )
             elif oc in ("num_iszero", "num_inv_or_one"):
@@ -657,6 +684,18 @@ class WitnessProgram:
                             )
                         )
                     r = jnp.stack(limbs, axis=-1)
+                    flimbs = flimbs.at[:, st.outs].set(r)
+                    vals = vals.at[:, st.arrs["out_slots"]].set(
+                        r[..., 0] | (r[..., 1] << 16)
+                    )
+                elif oc == "lookup":
+                    bv = vals[:, st.arrs["idx"]] ^ st.arrs["neg"]  # [B, W, nb]
+                    bv = jnp.where(st.arrs["isc"] == 1, st.arrs["cv"], bv)
+                    nb = st.meta
+                    w = jnp.asarray([1 << i for i in range(nb)], jnp.uint32)
+                    sel = jnp.sum(bv * w, axis=-1).astype(jnp.int32)  # [B, W]
+                    table = st.arrs["table"]  # [W, 2^nb, 16]
+                    r = table[jnp.arange(table.shape[0])[None, :], sel]
                     flimbs = flimbs.at[:, st.outs].set(r)
                     vals = vals.at[:, st.arrs["out_slots"]].set(
                         r[..., 0] | (r[..., 1] << 16)

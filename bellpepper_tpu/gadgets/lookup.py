@@ -54,6 +54,16 @@ def lookup3_xy(
 
     res_x = AllocatedNum.alloc(cs.namespace("x"), fx)
     res_y = AllocatedNum.alloc(cs.namespace("y"), fy)
+    cs.record_witness_op(
+        "lookup",
+        [res_x.get_variable()],
+        (bits, [field.normalize(c[0]) for c in coords]),
+    )
+    cs.record_witness_op(
+        "lookup",
+        [res_y.get_variable()],
+        (bits, [field.normalize(c[1]) for c in coords]),
+    )
 
     x_coeffs = [field.ZERO] * 8
     y_coeffs = [field.ZERO] * 8
@@ -126,6 +136,17 @@ def lookup3_xy_with_conditional_negation(
         return field.neg(tmp) if sign else tmp
 
     y = AllocatedNum.alloc(cs.namespace("y"), fy)
+    # Device witness op: the sign bit becomes the top index bit of an
+    # 8-entry table whose upper half holds the negated y values.
+    cs.record_witness_op(
+        "lookup",
+        [y.get_variable()],
+        (
+            [bits[0], bits[1], bits[2]],
+            [field.normalize(c[1]) for c in coords]
+            + [field.neg(c[1]) for c in coords],
+        ),
+    )
 
     x_coeffs = [field.ZERO] * 4
     y_coeffs = [field.ZERO] * 4
