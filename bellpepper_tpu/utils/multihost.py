@@ -16,10 +16,12 @@ has two layers:
 This module provides the process-level glue: initialization from env vars
 (a `jax.distributed`-style launcher contract), construction of
 global-span meshes, and assembly of globally-sharded inputs from
-process-local shards. It cannot be exercised for real in a single-host
-image (the driver validates multi-chip compilation via
-__graft_entry__.dryrun_multichip on a virtual mesh); the code paths are
-kept import-safe and unit-tested for the single-process degenerate case.
+process-local shards. The non-fallback branch is executed for real by
+tests/test_multihost_2proc.py: two local processes (4 virtual CPU devices
+each) join via jax.distributed.initialize over localhost, run the sharded
+witness+verdict step with gloo-backed cross-process collectives, and
+assert z-shards bit-equal the single-process run. Real DCN bandwidth
+numbers still require pod hardware.
 """
 
 from __future__ import annotations
