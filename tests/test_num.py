@@ -103,7 +103,8 @@ def test_conditionally_reverse():
 
 
 def test_to_bits_le():
-    for _ in range(10):
+    # 200 fixed-seed iterations, matching num.rs:723's test depth.
+    for _ in range(200):
         v = RNG.randrange(P)
         cs = TestConstraintSystem()
         n = AllocatedNum.alloc(cs, v)
@@ -115,7 +116,7 @@ def test_to_bits_le():
 
 
 def test_to_bits_le_strict():
-    for _ in range(5):
+    for _ in range(200):
         v = RNG.randrange(P)
         cs = TestConstraintSystem()
         n = AllocatedNum.alloc(cs, v)

@@ -3,7 +3,10 @@ oracles 25,840 / 44,874), blank-hash digest, and cross-checks against
 hashlib over many lengths — mirroring sha256.rs:284-417."""
 
 import hashlib
+import os
 import random
+
+import pytest
 
 from bellpepper_tpu import TestConstraintSystem
 from bellpepper_tpu.gadgets.boolean import AllocatedBit, Boolean
@@ -64,30 +67,45 @@ def test_full_hash_constraint_count():
     assert cs.num_constraints() - 512 == 44874
 
 
-def test_against_vectors():
-    # Lengths 0..32 bytes plus multiples of 8 up to 64 (trimmed from the
-    # reference's 256 for runtime; full sweep in test_sha256_extended).
-    for input_len in list(range(0, 32)) + [40, 48, 56, 64]:
-        data = bytes(RNG.randrange(256) for _ in range(input_len))
-        expected = hashlib.sha256(data).digest()
+def _check_sha256_vector(input_len: int) -> None:
+    data = bytes(RNG.randrange(256) for _ in range(input_len))
+    expected = hashlib.sha256(data).digest()
 
-        cs = TestConstraintSystem()
-        input_bits = []
-        for byte_i, byte in enumerate(data):
-            for bit_i in range(7, -1, -1):
-                input_bits.append(
-                    Boolean.from_bit(
-                        AllocatedBit.alloc(
-                            cs.namespace(f"input bit {byte_i} {bit_i}"),
-                            bool((byte >> bit_i) & 1),
-                        )
+    cs = TestConstraintSystem()
+    input_bits = []
+    for byte_i, byte in enumerate(data):
+        for bit_i in range(7, -1, -1):
+            input_bits.append(
+                Boolean.from_bit(
+                    AllocatedBit.alloc(
+                        cs.namespace(f"input bit {byte_i} {bit_i}"),
+                        bool((byte >> bit_i) & 1),
                     )
                 )
+            )
 
-        out = sha256(cs, input_bits)
-        assert cs.is_satisfied()
-        got = [b.get_value() for b in out]
-        assert bits_to_bytes_be(got) == expected, f"len={input_len}"
+    out = sha256(cs, input_bits)
+    assert cs.is_satisfied()
+    got = [b.get_value() for b in out]
+    assert bits_to_bytes_be(got) == expected, f"len={input_len}"
+
+
+def test_against_vectors():
+    # Lengths 0..32 bytes plus multiples of 8 up to 64; the reference's
+    # full 32..256-step-8 sweep (sha256.rs:364-417) runs in
+    # test_sha256_extended below (slow; gated on BP_SLOW_TESTS=1).
+    for input_len in list(range(0, 32)) + [40, 48, 56, 64]:
+        _check_sha256_vector(input_len)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("BP_SLOW_TESTS"),
+    reason="full 32..256-step-8 sweep takes minutes on host; set "
+    "BP_SLOW_TESTS=1 to run (reference sweep: sha256.rs:364-417)",
+)
+def test_sha256_extended():
+    for input_len in range(32, 256, 8):
+        _check_sha256_vector(input_len)
 
 
 def test_mutation_kills_satisfiability():

@@ -85,6 +85,44 @@ def test_hash_matches_independent_encoding_duplicate_terms():
     assert cs.hash() == independent_hash(cs)
 
 
+# Frozen golden vector for the x*x=y circuit (1 input ONE, aux {x, y},
+# one constraint A=x, B=x, C=y, all coefficients 1). The 171-byte
+# pre-image below is written out LITERALLY from the Rust layout
+# (test_cs.rs:64-115: u64-BE header triple; per LC a u64-BE term count
+# then b'I'/b'A' ++ u64-BE index ++ 32 big-endian coeff bytes). The Rust
+# toolchain is absent from this image and there is no network egress, so
+# the digest cannot be produced by the reference binary here; this
+# constant freezes the layout so (a) any drift in either Python encoder
+# fails loudly and (b) anyone with the Rust reference can check parity
+# offline with:
+#   let mut cs = TestConstraintSystem::<blstrs::Scalar>::new();
+#   let x = AllocatedNum::alloc(cs.namespace(|| "x"), || Ok(3u64.into()))?;
+#   x.square(cs.namespace(|| "sq"))?;
+#   assert_eq!(cs.hash(), GOLDEN_SQUARE_HASH);
+GOLDEN_SQUARE_HASH = (
+    "ad7ad3ff72a37be8bafe33ff9ac897f3a8fe43c246b06f032209c0c04994f06a"
+)
+
+
+def test_golden_square_circuit_hash():
+    stream = b""
+    stream += (1).to_bytes(8, "big")  # n_inputs (ONE)
+    stream += (2).to_bytes(8, "big")  # n_aux (x, y)
+    stream += (1).to_bytes(8, "big")  # n_constraints
+    one_coeff = (1).to_bytes(32, "big")
+    for aux_idx in (0, 0, 1):  # A = x, B = x, C = y
+        stream += (1).to_bytes(8, "big")  # term count
+        stream += b"A" + aux_idx.to_bytes(8, "big") + one_coeff
+    assert len(stream) == 171
+    assert hashlib.blake2s(stream).hexdigest() == GOLDEN_SQUARE_HASH
+
+    cs = TestConstraintSystem()
+    x = AllocatedNum.alloc(cs.namespace("x"), 3)
+    x.square(cs.namespace("sq"))
+    assert cs.hash() == GOLDEN_SQUARE_HASH
+    assert independent_hash(cs) == GOLDEN_SQUARE_HASH
+
+
 def test_hash_value_independence():
     # Same shape, different witness values → same hash (it is a SHAPE
     # fingerprint); different shape → different hash.

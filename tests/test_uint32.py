@@ -60,7 +60,8 @@ def test_rotr_shr_free():
 
 
 def test_xor():
-    for _ in range(5):
+    # 1000 fixed-seed iterations, matching uint32.rs:428's test depth.
+    for _ in range(1000):
         a_v, b_v = u32s(2)
         cs = TestConstraintSystem()
         a = UInt32.alloc(cs.namespace("a"), a_v)
@@ -72,7 +73,7 @@ def test_xor():
 
 
 def test_ch_maj():
-    for _ in range(5):
+    for _ in range(200):
         a_v, b_v, c_v = u32s(3)
         cs = TestConstraintSystem()
         a = UInt32.alloc(cs.namespace("a"), a_v)
@@ -86,20 +87,30 @@ def test_ch_maj():
 
 
 def test_addmany():
+    # 50 random value draws per operand count (reference: 1000 iterations
+    # across its addmany variants, uint32.rs:428).
     for nops in (2, 3, 7, 10):
-        vals = u32s(nops)
-        cs = TestConstraintSystem()
-        ops = [UInt32.alloc(cs.namespace(f"op {i}"), v) for i, v in enumerate(vals)]
-        with MultiEq(cs) as mcs:
-            result = UInt32.addmany(mcs.namespace("addmany"), ops)
-        expected = sum(vals) & 0xFFFFFFFF
-        assert result.value == expected
-        check_bits(result, expected)
-        assert cs.is_satisfied()
+        for it in range(50):
+            vals = u32s(nops)
+            cs = TestConstraintSystem()
+            ops = [
+                UInt32.alloc(cs.namespace(f"op {i}"), v)
+                for i, v in enumerate(vals)
+            ]
+            with MultiEq(cs) as mcs:
+                result = UInt32.addmany(mcs.namespace("addmany"), ops)
+            expected = sum(vals) & 0xFFFFFFFF
+            assert result.value == expected
+            check_bits(result, expected)
+            assert cs.is_satisfied()
 
-        # Mutation-kill (uint32.rs:626-633): flip one result bit.
-        cs.set("addmany/result bit 0/boolean", 1 if expected & 1 == 0 else 0)
-        assert not cs.is_satisfied()
+            if it == 0:
+                # Mutation-kill (uint32.rs:626-633): flip one result bit.
+                cs.set(
+                    "addmany/result bit 0/boolean",
+                    1 if expected & 1 == 0 else 0,
+                )
+                assert not cs.is_satisfied()
 
 
 def test_addmany_constants():
