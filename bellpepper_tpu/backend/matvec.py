@@ -1105,6 +1105,240 @@ def _sub_rows_r1cs(template: R1CS, keep_idx: np.ndarray) -> R1CS:
     )
 
 
+# Trivial-row fast path for the LIMBS witness form. Contract (the limb
+# encoding of the reference's type-level guarantee — Rust `ff` field
+# elements are always canonical): each z limb vector encodes a canonical
+# value (< p) and slot 0 holds ONE == 1 (TemplatedSatisfier docstring).
+# Under this contract:
+#   * a booleanity row (1-x)·x = 0 (boolean.rs:90-96) holds iff
+#     z[x] ∈ {0, 1} — 𝔽_p is an integral domain — so the row is a limb
+#     compare instead of a 17-limb modmul;
+#   * a row whose three LCs each carry ≤ 2 variable terms with
+#     coefficients in {1, p−1} (plus any constant, via ONE) feeds the
+#     fused mul-compare kernel directly: operands assemble by row gather
+#     + borrow-free negation + one carry pass — no digit relayout, no
+#     fold matvec. The limbs-form shape of the reference's coeff==1
+#     skip-mul (lc.rs:245-267).
+# Gadget circuits (AllocatedNum mul/add/square, booleanity, select) are
+# dominated by such rows; only genuinely wide rows (pack/MultiEq) keep
+# the fold-matvec pipeline.
+def _classify_trivial_limb_rows(template: R1CS):
+    """(bit_rows, triv_rows, fold_idx) or None when fewer than half the
+    rows qualify. bit_rows: [(row, col)]; triv_rows: [(row, spec_a,
+    spec_b, spec_c)] with spec = (const, [(col, neg)] of ≤ 2 terms)."""
+    p = template.field.p
+    R = template.num_constraints
+    table = [int(c) % p for c in template.coeff_table]
+    terms = {}
+    for name in ("a", "b", "c"):
+        m = getattr(template, name)
+        rows = np.asarray(m.rows)
+        cols = np.asarray(m.cols)
+        cids = np.asarray(m.coeff_ids)
+        lst = [[] for _ in range(R)]
+        for e in np.argsort(rows, kind="stable"):
+            lst[rows[e]].append((table[cids[e]], int(cols[e])))
+        terms[name] = lst
+
+    def triv(ts):
+        const = 0
+        vars_ = []
+        for coeff, col in ts:
+            if col == 0:
+                const = (const + coeff) % p
+            elif coeff == 1:
+                vars_.append((col, 0))
+            elif coeff == p - 1:
+                vars_.append((col, 1))
+            else:
+                return None
+        if len(vars_) > 2:
+            return None
+        return (const, vars_)
+
+    bit_rows = []
+    triv_rows = []
+    fold_rows = []
+    for r in range(R):
+        sa = triv(terms["a"][r])
+        sb = triv(terms["b"][r]) if sa is not None else None
+        sc = triv(terms["c"][r]) if sb is not None else None
+        if sc is None:
+            fold_rows.append(r)
+            continue
+        if (
+            sa[0] == 1
+            and len(sa[1]) == 1
+            and sa[1][0][1] == 1
+            and sb == (0, [(sa[1][0][0], 0)])
+            and sc == (0, [])
+        ):
+            bit_rows.append((r, sa[1][0][0]))
+            continue
+        triv_rows.append((r, sa, sb, sc))
+    if len(fold_rows) > R // 2:
+        return None
+    return bit_rows, triv_rows, np.asarray(fold_rows, np.int32)
+
+
+def _build_trivial_limbs_check(
+    template: R1CS, batch: int, use_pallas: bool, bit_rows, triv_rows, fold_idx
+):
+    """Split limbs-form check: bit rows by limb compare, trivial rows by
+    direct operand assembly into the fused mul-compare (or the jnp modmul
+    off-TPU), remaining rows through the fold-matvec sub-template."""
+    field = template.field
+    p = field.p
+    R = template.num_constraints
+    be = get_backend(field)
+    nb, nt, nf = len(bit_rows), len(triv_rows), len(fold_idx)
+
+    p17 = [(p >> (16 * i)) & 0xFFFF for i in range(17)]
+
+    bit_idx = np.asarray([r for r, _c in bit_rows], np.int32)
+    bit_cols = jax.device_put(np.asarray([c for _r, c in bit_rows], np.int32))
+    triv_idx = np.asarray([r for r, *_ in triv_rows], np.int32)
+
+    # Per-operand static spec arrays.
+    spec = {}
+    for oi, name in enumerate(("a", "b", "c")):
+        const = np.zeros((nt, 17), np.uint32)
+        cols = np.zeros((nt, 2), np.int32)
+        on = np.zeros((nt, 2), np.uint32)
+        neg = np.zeros((nt, 2), np.uint32)
+        for w, (_r, *specs) in enumerate(triv_rows):
+            cv, vars_ = specs[oi]
+            for i in range(17):
+                const[w, i] = (cv >> (16 * i)) & 0xFFFF
+            for t, (col, ng) in enumerate(vars_):
+                cols[w, t] = col
+                on[w, t] = 1
+                neg[w, t] = ng
+        max_terms = int(on.sum(axis=0).astype(bool).sum()) if nt else 0
+        spec[name] = {
+            "const": jax.device_put(const),
+            "cols": jax.device_put(cols),
+            "on": jax.device_put(on),
+            "neg": jax.device_put(neg),
+            "max_terms": max_terms,
+        }
+
+    fold_viol = (
+        build_templated_check(
+            _sub_rows_r1cs(template, fold_idx),
+            batch,
+            use_pallas,
+            "limbs",
+            _partition=False,
+        )
+        if nf
+        else None
+    )
+
+    inv = np.empty(R, np.int32)
+    inv[np.concatenate([bit_idx, triv_idx, fold_idx])] = np.arange(
+        R, dtype=np.int32
+    )
+    inv_d = jax.device_put(inv)
+
+    mulcmp = None
+    if use_pallas and field.NUM_BITS >= 250 and nt:
+        from .field_pallas import TILE, make_mulcmp
+
+        mulcmp = make_mulcmp(field)
+
+    def _neg17(x):
+        """p − x for canonical x (maps 0 → p; fine: semi < p·2^11)."""
+        outs = []
+        borrow = None
+        for i in range(17):
+            d = jnp.uint32(p17[i]) - x[..., i]
+            if borrow is not None:
+                d = d - borrow
+            borrow = d >> 31
+            outs.append(d & 0xFFFF)
+        return jnp.stack(outs, axis=-1)
+
+    def _carry17(x):
+        """Renormalize limbs (< 3·2^16 each; value < 3p) to 16-bit limbs."""
+        outs = []
+        carry = None
+        for i in range(17):
+            tot = x[..., i] if carry is None else x[..., i] + carry
+            outs.append(tot & 0xFFFF)
+            carry = tot >> 16
+        return jnp.stack(outs, axis=-1)
+
+    def _cond_sub_p17(x):
+        outs = []
+        borrow = None
+        for i in range(17):
+            d = x[..., i] - jnp.uint32(p17[i])
+            if borrow is not None:
+                d = d - borrow
+            borrow = d >> 31
+            outs.append(d & 0xFFFF)
+        diff = jnp.stack(outs, axis=-1)
+        return jnp.where((borrow == 0)[..., None], diff, x)
+
+    def _assemble(name, zt, B):
+        """[nt, B, 17] semi-reduced operand limbs (< 3p, 16-bit limbs)."""
+        s = spec[name]
+        acc = jnp.broadcast_to(s["const"][:, None, :], (nt, B, 17)).astype(
+            jnp.uint32
+        )
+        for t in range(s["max_terms"]):
+            x16 = zt[s["cols"][:, t]]  # [nt, B, 16] row gather
+            x = jnp.concatenate(
+                [x16, jnp.zeros(x16.shape[:-1] + (1,), jnp.uint32)], axis=-1
+            )
+            term = jnp.where(s["neg"][:, t, None, None] == 1, _neg17(x), x)
+            acc = acc + jnp.where(
+                s["on"][:, t, None, None] == 1, term, jnp.uint32(0)
+            )
+        return _carry17(acc)
+
+    def violations(z3):
+        B = z3.shape[0]
+        zt = jnp.transpose(z3, (1, 0, 2))  # [S_t, B, 16]
+        parts = []
+        if nb:
+            xb = zt[bit_cols]  # [nb, B, 16]
+            hi_zero = jnp.all(xb[..., 1:] == 0, axis=-1)
+            bad_bit = ~(hi_zero & (xb[..., 0] <= 1))
+            parts.append(bad_bit.T)  # [B, nb]
+        if nt:
+            a_s = _assemble("a", zt, B)
+            b_s = _assemble("b", zt, B)
+            c_s = _assemble("c", zt, B)
+            if mulcmp is not None:
+                n = nt * B
+                npad = -(-n // TILE) * TILE
+
+                def lm(x):
+                    flat = x.transpose(2, 0, 1).reshape(17, n)
+                    if npad != n:
+                        flat = jnp.pad(flat, ((0, 0), (0, npad - n)))
+                    return flat
+
+                bad_t = (mulcmp(lm(a_s), lm(b_s), lm(c_s))[:n] != 0).reshape(
+                    nt, B
+                )
+            else:
+                def canon(x):
+                    return _cond_sub_p17(_cond_sub_p17(x))[..., :16]
+
+                lhs = be.mul(canon(a_s), canon(b_s))
+                bad_t = jnp.any(lhs != canon(c_s), axis=-1)
+            parts.append(bad_t.T)  # [B, nt]
+        if fold_viol is not None:
+            parts.append(fold_viol(z3).reshape(B, nf))
+        comb = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        return jnp.take(comb, inv_d, axis=1).reshape(B * R)
+
+    return violations
+
+
 def build_templated_check(
     template: R1CS,
     batch: int,
@@ -1185,6 +1419,10 @@ def build_templated_check(
                 return jnp.take(comb, inv_d, axis=1).reshape(B * Rt0)
 
             return violations_split
+    if witness_form == "limbs" and Rt0 and _partition:
+        part = _classify_trivial_limb_rows(template)
+        if part is not None:
+            return _build_trivial_limbs_check(template, batch, use_pallas, *part)
     be = get_backend(template.field)
     impl = _PallasAdapter(template.field) if use_pallas else _JnpAdapter(template.field)
 
