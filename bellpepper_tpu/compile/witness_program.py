@@ -20,7 +20,7 @@ generators (witness_cs.rs:7-41)."""
 
 from __future__ import annotations
 
-from collections import defaultdict
+from collections import defaultdict, deque
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -111,19 +111,21 @@ def _build_scan_tables(run, F_scratch: int, S_scratch: int):
             if oc in ("fadd", "fmul"):
                 t["b_kind"][i, :w] = np.asarray(st.arrs["b_kind"])
                 t["b_idx"][i, :w] = np.asarray(st.arrs["b_idx"])
-    return {k: jax.device_put(v) for k, v in t.items()}
+    return jax.device_put(t)  # one batched transfer for the whole table
 
 
 class _Stage:
     __slots__ = ("opcode", "outs", "arrs", "meta")
 
     def __init__(self, opcode, outs, arrs, meta=None):
-        # Arrays go to device via device_put (a pure transfer): embedding
-        # them as numpy literals bloats the HLO (slow remote compiles),
-        # while jnp.asarray dispatches a compiled convert per shape.
+        # Arrays stay numpy here; _compile ships ALL stages to device in
+        # ONE batched device_put at the end (a pure transfer — embedding
+        # them as numpy literals bloats the HLO, jnp.asarray dispatches a
+        # compiled convert per shape, and per-array device_put paid ~140µs
+        # of dispatch overhead × thousands of stage arrays).
         self.opcode = opcode
-        self.outs = jax.device_put(np.asarray(outs))
-        self.arrs = {k: jax.device_put(np.asarray(v)) for k, v in arrs.items()}
+        self.outs = np.asarray(outs)
+        self.arrs = {k: np.asarray(v) for k, v in arrs.items()}
         self.meta = meta
 
 
@@ -162,8 +164,11 @@ class WitnessProgram:
             if slot in free_set:
                 field_consumed.add(slot)
 
-        # Levels. Recording order respects dependencies, so a single pass
-        # suffices; free slots (and ONE) are level 0.
+        # Levels. Free slots (and ONE) are level 0. Recording order
+        # usually respects dependencies, but a gadget may record a
+        # producing op after consumers of its outputs (to_bits_le_strict
+        # records fbits_le after the run-of-ones ANDs that consume its
+        # bits), so levels resolve topologically (Kahn), not in order.
         produced = {o for op in op_list for o in op.outs}
         level = {s: 0 for s in range(self.num_slots) if s not in produced}
 
@@ -189,13 +194,27 @@ class WitnessProgram:
             raise AssertionError(oc)
 
         unique_ops: List[Op] = op_list
-        for op in unique_ops:
-            lv = 0
-            for s in operand_slots(op):
-                lv = max(lv, level[s])
-            lv += 1
+        op_operands = [operand_slots(op) for op in unique_ops]
+        unresolved = [0] * len(unique_ops)
+        consumers: Dict[int, List[int]] = defaultdict(list)
+        for i, opnds in enumerate(op_operands):
+            for s in opnds:
+                if s not in level:
+                    unresolved[i] += 1
+                    consumers[s].append(i)
+        ready = deque(i for i, n in enumerate(unresolved) if n == 0)
+        n_processed = 0
+        while ready:
+            i = ready.popleft()
+            op = unique_ops[i]
+            n_processed += 1
+            lv = 1 + max((level[s] for s in op_operands[i]), default=0)
             for o in op.outs:
                 level[o] = lv
+                for j in consumers.pop(o, ()):
+                    unresolved[j] -= 1
+                    if unresolved[j] == 0:
+                        ready.append(j)
             if op.opcode in ("fadd", "fmul", "finv", "copy", "select", "fbits_le"):
                 srcs = (
                     op.args
@@ -205,6 +224,9 @@ class WitnessProgram:
                 for s in srcs:
                     if isinstance(s, int):
                         note_field_operand(s)
+        assert n_processed == len(unique_ops), (
+            "witness tape has an unresolvable dependency cycle"
+        )
 
         self.free_field_slots = sorted(field_consumed)
         free_field_idx = {s: i for i, s in enumerate(self.free_field_slots)}
@@ -402,6 +424,10 @@ class WitnessProgram:
             else:  # pragma: no cover
                 raise AssertionError(oc)
 
+        if stages:
+            moved = jax.device_put([(st.outs, st.arrs) for st in stages])
+            for st, (outs_d, arrs_d) in zip(stages, moved):
+                st.outs, st.arrs = outs_d, arrs_d
         self.stages = stages
         self.n_field_rows = len(field_rows)
 

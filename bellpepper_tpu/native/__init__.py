@@ -31,6 +31,7 @@ _SRC = os.path.join(_HERE, "synthesis.cpp")
 _OPCODE_NAMES = [
     "xor", "and", "and_not", "nor", "ch", "maj", "addmany",
     "fadd", "fmul", "finv", "copy", "pack",
+    "fbits_le", "select", "lookup", "num_iszero", "num_inv_or_one",
 ]
 
 _lib = None
@@ -78,6 +79,7 @@ def load_library():
         ("bp_num_mul", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]),
         ("bp_num_square", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int64]),
         ("bp_num_assert_nonzero", None, [ctypes.c_void_p, ctypes.c_int64]),
+        ("bp_num_is_zero", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int64]),
         ("bp_multieq_begin", None, [ctypes.c_void_p]),
         ("bp_multieq_end", None, [ctypes.c_void_p]),
         ("bp_num_inputs", ctypes.c_int64, [ctypes.c_void_p]),
@@ -86,6 +88,8 @@ def load_library():
         ("bp_nnz", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int]),
         ("bp_coeff_count", ctypes.c_int64, [ctypes.c_void_p]),
         ("bp_tape_len", ctypes.c_int64, [ctypes.c_void_p]),
+        ("bp_tape_resolved_len", ctypes.c_int64, [ctypes.c_void_p]),
+        ("bp_tape_op_count", ctypes.c_int64, [ctypes.c_void_p]),
     ]:
         fn = getattr(lib, name)
         fn.restype = res
@@ -97,6 +101,20 @@ def load_library():
     lib.bp_addmany.argtypes = [ctypes.c_void_p, i64p, ctypes.c_int, i64p]
     lib.bp_pack_bits.restype = ctypes.c_int64
     lib.bp_pack_bits.argtypes = [ctypes.c_void_p, i64p, ctypes.c_int]
+    lib.bp_num_to_bits_strict.restype = None
+    lib.bp_num_to_bits_strict.argtypes = [ctypes.c_void_p, ctypes.c_int64, i64p]
+    lib.bp_num_cond_reverse.restype = None
+    lib.bp_num_cond_reverse.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        i64p,
+    ]
+    lib.bp_lookup3_xy.restype = None
+    lib.bp_lookup3_xy.argtypes = [ctypes.c_void_p, i64p, u64p, i64p]
+    lib.bp_lookup3_xy_cn.restype = ctypes.c_int64
+    lib.bp_lookup3_xy_cn.argtypes = [ctypes.c_void_p, i64p, u64p]
     lib.bp_sha256_compression.restype = None
     lib.bp_sha256_compression.argtypes = [ctypes.c_void_p, i64p, i64p, i64p]
     lib.bp_sha256_iv.restype = None
@@ -115,6 +133,8 @@ def load_library():
     lib.bp_get_coeffs.argtypes = [ctypes.c_void_p, u64p]
     lib.bp_get_tape.restype = None
     lib.bp_get_tape.argtypes = [ctypes.c_void_p, i64p]
+    lib.bp_get_tape_resolved.restype = None
+    lib.bp_get_tape_resolved.argtypes = [ctypes.c_void_p, i64p, i64p]
     _lib = lib
     return lib
 
@@ -192,6 +212,59 @@ class NativeBuilder:
 
     def num_assert_nonzero(self, sa: int) -> None:
         self._lib.bp_num_assert_nonzero(self._b, sa)
+
+    def num_to_bits_le_strict(self, sa: int) -> List[int]:
+        """Strict in-field LE decomposition (num.rs:128-251); returns
+        NUM_BITS Boolean views, LSB first."""
+        out = np.empty(self.field.NUM_BITS, np.int64)
+        self._lib.bp_num_to_bits_strict(self._b, sa, out)
+        return list(out)
+
+    def num_conditionally_reverse(self, sa: int, sb: int, cond: int):
+        """(b, a) if cond else (a, b) (num.rs:408-454); cond is a Boolean
+        view, returns two num slotcodes."""
+        out = np.empty(2, np.int64)
+        self._lib.bp_num_cond_reverse(self._b, sa, sb, cond, out)
+        return int(out[0]), int(out[1])
+
+    def num_is_zero(self, sa: int) -> int:
+        """3-constraint is-zero (boolean_utils.rs:52-98) over a num slot;
+        returns a Boolean view."""
+        return self._lib.bp_num_is_zero(self._b, sa)
+
+    def _coords_u64(self, values, n) -> np.ndarray:
+        flat = np.empty(n * 4, np.uint64)
+        for i, v in enumerate(values):
+            v = self.field.normalize(v)
+            for j in range(4):
+                flat[i * 4 + j] = (v >> (64 * j)) & 0xFFFFFFFFFFFFFFFF
+        return flat
+
+    def lookup3_xy(self, bits, coords):
+        """3-bit window lookup (lookup.rs:32-118): bits = 3 Boolean views
+        LSB-first, coords = 8 (x, y) int pairs; returns (x, y) slotcodes."""
+        assert len(bits) == 3 and len(coords) == 8
+        flat = np.concatenate(
+            [
+                self._coords_u64([c[0] for c in coords], 8),
+                self._coords_u64([c[1] for c in coords], 8),
+            ]
+        )
+        out = np.empty(2, np.int64)
+        self._lib.bp_lookup3_xy(
+            self._b, np.asarray(bits, np.int64), flat, out
+        )
+        return int(out[0]), int(out[1])
+
+    def lookup3_xy_with_conditional_negation(self, bits, coords):
+        """2-bit lookup + sign bit (lookup.rs:122-187): bits = 3 views,
+        coords = 4 (x, y) pairs; returns the y slotcode (x is a
+        constraint-free LC, matching the Python gadget's Num)."""
+        assert len(bits) == 3 and len(coords) == 4
+        flat = self._coords_u64([c[1] for c in coords], 4)
+        return int(
+            self._lib.bp_lookup3_xy_cn(self._b, np.asarray(bits, np.int64), flat)
+        )
 
     def pack_bits(self, views: Sequence[int]) -> int:
         """Pack Boolean views (up to field CAPACITY) into one num slot."""
@@ -297,34 +370,78 @@ class NativeBuilder:
             names=None,
         )
 
-        # Decode the tape into WitnessProgram ops.
-        tl = int(lib.bp_tape_len(b))
+        # Decode the RESOLVED tape into WitnessProgram ops. The C++ side
+        # already resolved slotcodes against the final input count and
+        # expanded Boolean views to (kind, slot_or_value, negated)
+        # triples; it exports an operand stream plus an op table whose
+        # rows (opcode, n_outs, marker, outs_off, args_off) fix every
+        # arg width statically, so ops decode GROUP-wise with numpy
+        # fancy indexing (the per-element Python walk was the hot loop
+        # of finish at sha256 scale: ~80 ms/block → ~15 ms).
+        tl = int(lib.bp_tape_resolved_len(b))
+        n_ops = int(lib.bp_tape_op_count(b))
         flat = np.empty(max(tl, 1), np.int64)
-        if tl:
-            lib.bp_get_tape(b, flat)
-        ops: List[Op] = []
-        i = 0
-        while i < tl:
-            opcode = _OPCODE_NAMES[int(flat[i])]
-            n_outs = int(flat[i + 1])
-            i += 2
-            outs = [self._slot(int(s)) for s in flat[i : i + n_outs]]
-            i += n_outs
-            marker = int(flat[i])
-            i += 1
-            if opcode == "addmany":
+        opt = np.empty(max(n_ops * 5, 1), np.int64)
+        if n_ops:
+            lib.bp_get_tape_resolved(b, flat, opt)
+        opt = opt[: n_ops * 5].reshape(-1, 5)
+        M = 0xFFFFFFFFFFFFFFFF
+        names = _OPCODE_NAMES
+        ops: List[Optional[Op]] = [None] * n_ops
+
+        def take(off: np.ndarray, width: int) -> np.ndarray:
+            if width == 0:
+                return np.empty((len(off), 0), np.int64)
+            return flat[off[:, None] + np.arange(width)]
+
+        uniq, inv = (
+            np.unique(opt[:, :3], axis=0, return_inverse=True)
+            if n_ops
+            else (np.empty((0, 3), np.int64), np.empty(0, np.int64))
+        )
+        for g in range(len(uniq)):
+            code, n_outs, marker = (int(v) for v in uniq[g])
+            name = names[code]
+            sel = np.nonzero(inv == g)[0]
+            outs_m = take(opt[sel, 3], n_outs).tolist()
+            aoff = opt[sel, 4]
+            sel_l = sel.tolist()
+            if name == "addmany":
                 n_words = -marker
-                args = []
-                for _w in range(n_words):
-                    args.append([self._view(int(v)) for v in flat[i : i + 32]])
-                    i += 32
-            elif opcode in ("ch", "maj", "pack"):
-                args = [self._view(int(v)) for v in flat[i : i + marker]]
-                i += marker
-            else:  # bit ops: slots
-                args = [self._slot(int(s)) for s in flat[i : i + marker]]
-                i += marker
-            ops.append(Op(opcode, outs, args))
+                am = take(aoff, n_words * 96).reshape(-1, n_words, 32, 3)
+                for oi, o_, a_ in zip(sel_l, outs_m, am.tolist()):
+                    ops[oi] = Op(name, o_, a_)
+            elif name in ("ch", "maj", "pack"):
+                am = take(aoff, 3 * marker).reshape(-1, marker, 3)
+                for oi, o_, a_ in zip(sel_l, outs_m, am.tolist()):
+                    ops[oi] = Op(name, o_, a_)
+            elif name == "select":
+                am = take(aoff, 5).tolist()
+                for oi, o_, row in zip(sel_l, outs_m, am):
+                    ops[oi] = Op(name, o_, [tuple(row[:3]), row[3], row[4]])
+            elif name == "lookup":
+                nbits = marker  # index bit count; table has 2^nbits U256s
+                nt = 4 << nbits
+                am = take(aoff, 3 * nbits + nt).tolist()
+                for oi, o_, row in zip(sel_l, outs_m, am):
+                    views = [tuple(row[3 * k : 3 * k + 3]) for k in range(nbits)]
+                    tw = row[3 * nbits :]
+                    table = tuple(
+                        (tw[4 * e] & M)
+                        | ((tw[4 * e + 1] & M) << 64)
+                        | ((tw[4 * e + 2] & M) << 128)
+                        | ((tw[4 * e + 3] & M) << 192)
+                        for e in range(1 << nbits)
+                    )
+                    ops[oi] = Op(name, o_, (views, table))
+            elif name in ("num_iszero", "num_inv_or_one"):
+                am = take(aoff, 2 * marker).reshape(-1, marker, 2)
+                for oi, o_, a_ in zip(sel_l, outs_m, am.tolist()):
+                    ops[oi] = Op(name, o_, [tuple(p) for p in a_])
+            else:  # bit ops + field ops + fbits_le: plain slots
+                am = take(aoff, marker).tolist()
+                for oi, o_, a_ in zip(sel_l, outs_m, am):
+                    ops[oi] = Op(name, o_, a_)
 
         produced = {o for op in ops for o in op.outs}
         free = [

@@ -188,7 +188,16 @@ enum OpCode {
   OP_FINV = 9,
   OP_COPY = 10,
   OP_PACK = 11,
+  OP_FBITS_LE = 12,
+  OP_SELECT = 13,
+  OP_LOOKUP = 14,
+  OP_NUM_ISZERO = 15,
+  OP_NUM_INV_OR_ONE = 16,
 };
+
+static inline int u256_bit(const U256& a, int i) {
+  return (int)((a.w[i / 64] >> (i % 64)) & 1);
+}
 
 struct Builder {
   U256 p;
@@ -878,6 +887,256 @@ int64_t pack_bits(Builder& B, const int64_t* views, int n) {
   return so;
 }
 
+// Full in-field strict LE bit decomposition (num.rs:128-251; mirrors
+// gadgets/num.py to_bits_le_strict): run-of-ones k-ary AND over the
+// big-endian bits of p-1; at each zero of p-1 the bit is allocated
+// conditionally against the AND of the preceding run. Writes NUM_BITS
+// Boolean views, LSB first, into out_views.
+void num_to_bits_le_strict(Builder& B, int64_t sa, int64_t* out_views) {
+  const int n = B.num_bits;
+  U256 pm1 = u256_sub(B.p, u256_one());
+  U256 one = u256_one();
+  U256 neg1 = negmod(one, B.p);
+
+  std::vector<int64_t> result;  // slotcodes, big-endian order
+  result.reserve(n);
+  std::vector<int64_t> current_run;
+  bool have_last = false;
+  int64_t last_run = 0;
+
+  auto kary_and = [&](std::vector<int64_t>& v) {
+    int64_t cur = v[0];
+    for (size_t i = 1; i < v.size(); ++i)
+      cur = view_slot(bit_and(B, cur, v[i]));
+    return cur;
+  };
+
+  for (int i = 0; i < n; ++i) {
+    if (u256_bit(pm1, n - 1 - i)) {
+      int64_t sc = view_slot(alloc_bit(B));
+      current_run.push_back(sc);
+      result.push_back(sc);
+    } else {
+      if (!current_run.empty()) {
+        if (have_last) current_run.push_back(last_run);
+        last_run = kary_and(current_run);
+        have_last = true;
+        current_run.clear();
+      }
+      // alloc_conditionally (boolean.rs:27-64): (1 - run - a) * a = 0.
+      // p's top bit is 1, so a zero of p-1 is always preceded by a run.
+      int64_t sc = slotcode_aux(B.alloc_aux());
+      LC a, b, c;
+      a.add(slotcode_input(0), one, B.p);
+      a.add(last_run, neg1, B.p);
+      a.add(sc, neg1, B.p);
+      b.add(sc, one, B.p);
+      B.enforce(a, b, c);
+      result.push_back(sc);
+    }
+  }
+
+  // Tape: fbits_le with LSB-first outs.
+  B.tape.push_back(OP_FBITS_LE);
+  B.tape.push_back((int64_t)result.size());
+  for (int i = (int)result.size() - 1; i >= 0; --i)
+    B.tape.push_back(result[i]);
+  B.tape.push_back(1);
+  B.tape.push_back(sa);
+
+  // Unpacking: (0) * (0) = sum 2^i bit_i - sa  over LE order.
+  LC a, b, c;
+  U256 coeff = one;
+  for (int i = (int)result.size() - 1; i >= 0; --i) {
+    c.add(result[i], coeff, B.p);
+    coeff = doublemod(coeff, B.p);
+  }
+  c.add(sa, neg1, B.p);
+  B.enforce(a, b, c);
+
+  for (int i = 0; i < n; ++i)
+    out_views[i] = view_var(result[n - 1 - i], false);
+}
+
+// conditionally_reverse (num.rs:408-454): (b, a) if cond else (a, b).
+// (a-b)*cond = a-c ; (b-a)*cond = b-d. Mirrors gadgets/num.py.
+void num_cond_reverse(Builder& B, int64_t sa, int64_t sb, View cond,
+                      int64_t out2[2]) {
+  U256 one = u256_one();
+  U256 neg1 = negmod(one, B.p);
+
+  int64_t sc = slotcode_aux(B.alloc_aux());
+  B.tape.push_back(OP_SELECT);
+  B.tape.push_back(1);
+  B.tape.push_back(sc);
+  B.tape.push_back(3);
+  B.tape.push_back(cond);
+  B.tape.push_back(sb);
+  B.tape.push_back(sa);
+  {
+    LC A, Bm, C;
+    A.add(sa, one, B.p);
+    A.add(sb, neg1, B.p);
+    lc_add_view(B, Bm, cond, one);
+    C.add(sa, one, B.p);
+    C.add(sc, neg1, B.p);
+    B.enforce(A, Bm, C);
+  }
+
+  int64_t sd = slotcode_aux(B.alloc_aux());
+  B.tape.push_back(OP_SELECT);
+  B.tape.push_back(1);
+  B.tape.push_back(sd);
+  B.tape.push_back(3);
+  B.tape.push_back(cond);
+  B.tape.push_back(sa);
+  B.tape.push_back(sb);
+  {
+    LC A, Bm, C;
+    A.add(sb, one, B.p);
+    A.add(sa, neg1, B.p);
+    lc_add_view(B, Bm, cond, one);
+    C.add(sb, one, B.p);
+    C.add(sd, neg1, B.p);
+    B.enforce(A, Bm, C);
+  }
+  out2[0] = sc;
+  out2[1] = sd;
+}
+
+// 3-constraint is-zero over an AllocatedNum slot (boolean_utils.rs:52-98;
+// mirrors gadgets/boolean_utils.py alloc_num_is_zero for the 1-term LC):
+// result·x = 0 and (x + result)·q = 1 with q = x⁻¹ or 1.
+View num_is_zero(Builder& B, int64_t sa) {
+  U256 one = u256_one();
+  View r = alloc_bit(B);
+  int64_t sr = view_slot(r);
+  B.tape.push_back(OP_NUM_ISZERO);
+  B.tape.push_back(1);
+  B.tape.push_back(sr);
+  B.tape.push_back(1);  // n_terms
+  B.tape.push_back(1);  // coeff
+  B.tape.push_back(sa);
+  {
+    LC A, Bm, C;
+    A.add(sr, one, B.p);
+    Bm.add(sa, one, B.p);
+    B.enforce(A, Bm, C);
+  }
+  int64_t sq = slotcode_aux(B.alloc_aux());
+  B.tape.push_back(OP_NUM_INV_OR_ONE);
+  B.tape.push_back(1);
+  B.tape.push_back(sq);
+  B.tape.push_back(1);
+  B.tape.push_back(1);
+  B.tape.push_back(sa);
+  {
+    LC A, Bm, C;
+    A.add(sa, one, B.p);
+    A.add(sr, one, B.p);
+    Bm.add(sq, one, B.p);
+    C.add(slotcode_input(0), one, B.p);
+    B.enforce(A, Bm, C);
+  }
+  return r;
+}
+
+// Möbius / inclusion-exclusion multilinear coefficient synthesis
+// (lookup.rs:11-28; mirrors gadgets/lookup.py synth).
+void synth_coeffs(Builder& B, int w, const U256* constants, U256* assignment) {
+  int n = 1 << w;
+  for (int i = 0; i < n; ++i) {
+    U256 cur = submod(constants[i], assignment[i], B.p);
+    assignment[i] = cur;
+    for (int j = i + 1; j < n; ++j)
+      if ((j & i) == i) assignment[j] = addmod(assignment[j], cur, B.p);
+  }
+}
+
+void tape_lookup(Builder& B, int64_t out, const View bits[3], const U256* table,
+                 int n_table) {
+  B.tape.push_back(OP_LOOKUP);
+  B.tape.push_back(1);
+  B.tape.push_back(out);
+  B.tape.push_back(3);  // n index bits
+  for (int i = 0; i < 3; ++i) B.tape.push_back(bits[i]);
+  for (int i = 0; i < n_table; ++i)
+    for (int j = 0; j < 4; ++j) B.tape.push_back((int64_t)table[i].w[j]);
+}
+
+// 3-bit window table lookup returning (x, y) slotcodes (lookup.rs:32-118;
+// mirrors gadgets/lookup.py lookup3_xy). coords: 8 (x, y) pairs.
+void lookup3_xy(Builder& B, const View bits[3], const U256* coords_x,
+                const U256* coords_y, int64_t out2[2]) {
+  U256 one = u256_one();
+  int64_t sx = slotcode_aux(B.alloc_aux());
+  int64_t sy = slotcode_aux(B.alloc_aux());
+  tape_lookup(B, sx, bits, coords_x, 8);
+  tape_lookup(B, sy, bits, coords_y, 8);
+
+  U256 xc[8], yc[8];
+  for (int i = 0; i < 8; ++i) xc[i] = yc[i] = u256_zero();
+  synth_coeffs(B, 3, coords_x, xc);
+  synth_coeffs(B, 3, coords_y, yc);
+
+  View precomp = bool_and(B, bits[1], bits[2]);
+
+  auto coord_row = [&](const U256* c, int64_t so) {
+    LC A, Bm, C;
+    A.add(slotcode_input(0), c[0b001], B.p);
+    lc_add_view(B, A, bits[1], c[0b011]);
+    lc_add_view(B, A, bits[2], c[0b101]);
+    lc_add_view(B, A, precomp, c[0b111]);
+    lc_add_view(B, Bm, bits[0], one);
+    C.add(so, one, B.p);
+    C.add(slotcode_input(0), negmod(c[0b000], B.p), B.p);
+    lc_add_view(B, C, bits[1], negmod(c[0b010], B.p));
+    lc_add_view(B, C, bits[2], negmod(c[0b100], B.p));
+    lc_add_view(B, C, precomp, negmod(c[0b110], B.p));
+    B.enforce(A, Bm, C);
+  };
+  coord_row(xc, sx);
+  coord_row(yc, sy);
+  out2[0] = sx;
+  out2[1] = sy;
+}
+
+// 2-bit lookup with sign-bit conditional negation (lookup.rs:122-187;
+// mirrors gadgets/lookup.py lookup3_xy_with_conditional_negation). Returns
+// the allocated y slotcode; x comes back as a constraint-free LC on the
+// Python side (Num), so nothing to allocate here. coords: 4 (x, y) pairs.
+int64_t lookup3_xy_cn(Builder& B, const View bits[3], const U256* coords_y) {
+  U256 one = u256_one();
+  int64_t sy = slotcode_aux(B.alloc_aux());
+  // Device table: sign bit is the top index bit; upper half negated.
+  U256 table[8];
+  for (int i = 0; i < 4; ++i) table[i] = coords_y[i];
+  for (int i = 0; i < 4; ++i) table[4 + i] = negmod(coords_y[i], B.p);
+  tape_lookup(B, sy, bits, table, 8);
+
+  U256 yc[4];
+  for (int i = 0; i < 4; ++i) yc[i] = u256_zero();
+  synth_coeffs(B, 2, coords_y, yc);
+
+  View precomp = bool_and(B, bits[0], bits[1]);
+
+  // y_lc = y3·precomp + y2·b1 + y1·b0 + y0·one
+  LC y_lc;
+  lc_add_view(B, y_lc, precomp, yc[0b11]);
+  lc_add_view(B, y_lc, bits[1], yc[0b10]);
+  lc_add_view(B, y_lc, bits[0], yc[0b01]);
+  y_lc.add(slotcode_input(0), yc[0b00], B.p);
+
+  // (y_lc + y_lc) * sign = y_lc - y
+  LC A, Bm, C;
+  A.add_scaled(y_lc, addmod(one, one, B.p), B.p);
+  lc_add_view(B, Bm, bits[2], one);
+  C.add_scaled(y_lc, one, B.p);
+  C.add(sy, negmod(one, B.p), B.p);
+  B.enforce(A, Bm, C);
+  return sy;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------
@@ -991,6 +1250,129 @@ void bp_get_tape(void* b, int64_t* out) {
   memcpy(out, B.tape.data(), B.tape.size() * 8);
 }
 
+}  // extern "C"
+
+namespace {
+
+// Resolved-tape export: slotcodes are resolved to global slots (inputs
+// first, against the FINAL input count) and Boolean views expand to
+// (kind, slot_or_value, negated) triples — the exact integers
+// bellpepper_tpu.compile.tape Ops carry. Emits TWO buffers: an operand
+// stream (outs then args, contiguous per op) and an op table with one
+// (opcode, n_outs, marker, outs_off, args_off) row per op — every arg
+// width is a static function of (opcode, n_outs, marker), so the Python
+// decoder batches ops group-wise with numpy fancy indexing instead of
+// walking the stream element by element (the per-element Python
+// resolution was the hot loop of NativeBuilder.finish at sha256 scale).
+void resolve_tape(const Builder& B, std::vector<int64_t>& out,
+                  std::vector<int64_t>& optable) {
+  auto slot = [&](int64_t sc) {
+    return (sc & 1) ? B.num_inputs + (sc >> 1) : (sc >> 1);
+  };
+  auto put = [&](int64_t v) { out.push_back(v); };
+  auto put_view = [&](int64_t v) {
+    if (!(v & 1)) {
+      put(0);  // V_CONST
+      put((v & 2) ? 1 : 0);
+      put(0);
+    } else {
+      put(1);  // V_VAR
+      put(slot(v >> 2));
+      put((v & 2) ? 1 : 0);
+    }
+  };
+  const std::vector<int64_t>& t = B.tape;
+  size_t i = 0;
+  while (i < t.size()) {
+    int64_t opcode = t[i];
+    int64_t n_outs = t[i + 1];
+    i += 2;
+    optable.push_back(opcode);
+    optable.push_back(n_outs);
+    int64_t marker_slot = (int64_t)optable.size();
+    optable.push_back(0);  // marker, patched below
+    optable.push_back((int64_t)out.size());
+    for (int64_t k = 0; k < n_outs; ++k) put(slot(t[i + k]));
+    i += n_outs;
+    int64_t marker = t[i];
+    optable[marker_slot] = marker;
+    optable.push_back((int64_t)out.size());
+    i += 1;
+    switch (opcode) {
+      case OP_ADDMANY: {
+        int64_t n_views = (-marker) * 32;
+        for (int64_t k = 0; k < n_views; ++k) put_view(t[i + k]);
+        i += n_views;
+        break;
+      }
+      case OP_CH:
+      case OP_MAJ:
+      case OP_PACK:
+        for (int64_t k = 0; k < marker; ++k) put_view(t[i + k]);
+        i += marker;
+        break;
+      case OP_SELECT:
+        put_view(t[i]);
+        put(slot(t[i + 1]));
+        put(slot(t[i + 2]));
+        i += 3;
+        break;
+      case OP_LOOKUP: {
+        for (int64_t k = 0; k < marker; ++k) put_view(t[i + k]);
+        i += marker;
+        int64_t n_words = (int64_t)4 << marker;
+        for (int64_t k = 0; k < n_words; ++k) put(t[i + k]);
+        i += n_words;
+        break;
+      }
+      case OP_NUM_ISZERO:
+      case OP_NUM_INV_OR_ONE:
+        for (int64_t k = 0; k < marker; ++k) {
+          put(t[i + 2 * k]);
+          put(slot(t[i + 2 * k + 1]));
+        }
+        i += 2 * marker;
+        break;
+      default:  // bit ops + fbits_le: plain slots
+        for (int64_t k = 0; k < marker; ++k) put(slot(t[i + k]));
+        i += marker;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Multi-call protocol: bp_tape_resolved_len fills thread-local buffers
+// and returns the operand-stream length; bp_tape_op_count returns the
+// op-table row count; bp_get_tape_resolved copies both out and frees
+// them.
+static thread_local std::vector<int64_t> g_resolved;
+static thread_local std::vector<int64_t> g_optable;
+
+int64_t bp_tape_resolved_len(void* b) {
+  g_resolved.clear();
+  g_optable.clear();
+  resolve_tape(*(Builder*)b, g_resolved, g_optable);
+  return (int64_t)g_resolved.size();
+}
+
+int64_t bp_tape_op_count(void* b) {
+  (void)b;
+  return (int64_t)(g_optable.size() / 5);
+}
+
+void bp_get_tape_resolved(void* b, int64_t* out, int64_t* ops_out) {
+  (void)b;
+  memcpy(out, g_resolved.data(), g_resolved.size() * 8);
+  memcpy(ops_out, g_optable.data(), g_optable.size() * 8);
+  g_resolved.clear();
+  g_resolved.shrink_to_fit();
+  g_optable.clear();
+  g_optable.shrink_to_fit();
+}
+
 int64_t bp_alloc_num(void* b) { return alloc_num(*(Builder*)b); }
 int64_t bp_num_add(void* b, int64_t sa, int64_t sb) {
   return num_add(*(Builder*)b, sa, sb);
@@ -1006,6 +1388,40 @@ void bp_num_assert_nonzero(void* b, int64_t sa) {
 }
 int64_t bp_pack_bits(void* b, const int64_t* views, int n) {
   return pack_bits(*(Builder*)b, views, n);
+}
+
+void bp_num_to_bits_strict(void* b, int64_t sa, int64_t* out_views) {
+  num_to_bits_le_strict(*(Builder*)b, sa, out_views);
+}
+
+void bp_num_cond_reverse(void* b, int64_t sa, int64_t sb, int64_t cond,
+                         int64_t* out2) {
+  num_cond_reverse(*(Builder*)b, sa, sb, cond, out2);
+}
+
+int64_t bp_num_is_zero(void* b, int64_t sa) {
+  return num_is_zero(*(Builder*)b, sa);
+}
+
+// coords: 8 x-values then 8 y-values, 4 little-endian u64 words each.
+void bp_lookup3_xy(void* b, const int64_t* bits3, const uint64_t* coords,
+                   int64_t* out2) {
+  U256 cx[8], cy[8];
+  for (int i = 0; i < 8; ++i) {
+    memcpy(cx[i].w, coords + i * 4, 32);
+    memcpy(cy[i].w, coords + 32 + i * 4, 32);
+  }
+  View bits[3] = {bits3[0], bits3[1], bits3[2]};
+  lookup3_xy(*(Builder*)b, bits, cx, cy, out2);
+}
+
+// coords: 4 y-values, 4 little-endian u64 words each.
+int64_t bp_lookup3_xy_cn(void* b, const int64_t* bits3,
+                         const uint64_t* coords_y) {
+  U256 cy[4];
+  for (int i = 0; i < 4; ++i) memcpy(cy[i].w, coords_y + i * 4, 32);
+  View bits[3] = {bits3[0], bits3[1], bits3[2]};
+  return lookup3_xy_cn(*(Builder*)b, bits, cy);
 }
 
 }  // extern "C"

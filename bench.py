@@ -49,6 +49,11 @@ def main():
 
     load_library()
     t_solib = time.time() - t0
+    # TPU backend/tunnel handshake is environment setup, not synthesis:
+    # force it here so t_wprog measures the compile, and report it.
+    t0 = time.time()
+    jax.devices()
+    t_backend = time.time() - t0
     t0 = time.time()
     nb = NativeBuilder()
     in_bits = [nb.alloc_bit() for _ in range(512)]
@@ -144,6 +149,7 @@ def main():
             "host_synthesis_s": round(t_synth, 2),
             "host_split_s": {
                 "native_solib_build": round(t_solib, 2),
+                "backend_init": round(t_backend, 2),
                 "native_synthesis": round(t_native, 3),
                 "witness_program_compile": round(t_wprog, 2),
             },

@@ -8,10 +8,14 @@ evaluating A·z and B·z with the framework's own matvec — i.e. witness
 generation and checking both run on the accelerator; the host only builds
 indices.
 
-Usage: python benchmarks/config5_synthetic_r1cs.py [log2_constraints] [n_devices]
+Usage: python benchmarks/config5_synthetic_r1cs.py [log2_constraints]
+           [n_devices] [log2_rows_per_chunk]
 Defaults: 2^20 rows on all local devices (set
 XLA_FLAGS=--xla_force_host_platform_device_count=8 + cpu platform for a
-virtual mesh)."""
+virtual mesh); 2^21 rows per scan chunk — the TPU random-gather rate is
+~3.2x better for gathers of >= 2^21 indices (6.7 vs 21 ns/idx, measured
+in probe_gather_floor.py), so chunks must stay ABOVE that knee while
+keeping per-chunk digit-plane temps inside HBM."""
 
 import json
 import os
@@ -85,7 +89,8 @@ def main():
     # overflow the compile transport at this size).
     from bellpepper_tpu.backend.matvec import build_row_chunked_product
 
-    n_wit_chunks = max(1, R >> 17)
+    log2_rpc = int(sys.argv[3]) if len(sys.argv) > 3 else 21
+    n_wit_chunks = max(1, R >> log2_rpc)
     prod_fn, prep_ab = build_row_chunked_product(r1cs, n_wit_chunks)
 
     from functools import partial
@@ -111,7 +116,7 @@ def main():
     if row_chunked:
         from bellpepper_tpu.backend.matvec import build_row_chunked_check
 
-        check_fn, prep_chk = build_row_chunked_check(r1cs, max(1, R >> 17))
+        check_fn, prep_chk = build_row_chunked_check(r1cs, max(1, R >> log2_rpc))
         check_jit = jax.jit(check_fn)
 
         def run_check(zz):

@@ -1,0 +1,207 @@
+"""Native (C++) builder parity for the num/field gadget family:
+to_bits_le_strict (run-of-ones schedule), conditionally_reverse, is-zero,
+and the lookup3 window gadgets — same R1CS artifacts and witness-tape
+semantics as the Python gadget path (and therefore num.rs:128-454,
+boolean_utils.rs:52-98, lookup.rs:32-187).
+
+Also pins the mixed-circuit synthesis speed target: sha256 + packing +
+is-zero through the native builder in well under 100 ms/block."""
+
+import random
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from bellpepper_tpu import SCALAR
+from bellpepper_tpu.compile.tape import TapeCS
+from bellpepper_tpu.compile.witness_program import WitnessProgram
+from bellpepper_tpu.gadgets.boolean import AllocatedBit, Boolean
+from bellpepper_tpu.gadgets.boolean_utils import alloc_num_is_zero
+from bellpepper_tpu.gadgets.lookup import (
+    lookup3_xy,
+    lookup3_xy_with_conditional_negation,
+)
+from bellpepper_tpu.gadgets.multipack import pack_bits
+from bellpepper_tpu.gadgets.num import AllocatedNum, Num
+from bellpepper_tpu.native import NativeBuilder
+from bellpepper_tpu.r1cs import ShapeCS
+from tests.test_native_synthesis import assert_r1cs_equal
+
+RNG = random.Random(0xB17F00D)
+P = SCALAR.p
+
+
+def _run_witness(tape, free_bits=(), free_field=()):
+    """Evaluate a witness tape (CPU) → full value/limb buffers."""
+    prog = WitnessProgram(tape)
+    ev = prog.build(False)
+    # free_bits fills the non-field free slots in allocation order; field
+    # free slots ride in via the limb planes and stay 0 in the u32 buffer.
+    fb_np = np.zeros((1, len(prog.free_slots)), np.uint32)
+    it = iter(free_bits)
+    ff_set = set(prog.free_field_slots)
+    for i, s in enumerate(prog.free_slots):
+        if s not in ff_set:
+            fb_np[0, i] = next(it)
+    fb = jnp.asarray(fb_np)
+    from bellpepper_tpu.backend.field_jnp import get_backend
+
+    be = get_backend(SCALAR)
+    nf = max(len(prog.free_field_slots), 1)
+    ffl = np.zeros((1, nf, 16), np.uint32)
+    for i, v in enumerate(free_field):
+        ffl[0, i] = be.to_limbs([v])[0]
+    vals, flimbs = ev(fb, jnp.asarray(ffl))
+    return prog, np.asarray(vals), np.asarray(flimbs)
+
+
+def _field_value(prog, vals, flimbs, slot) -> int:
+    row = prog.field_rows.get(slot) if hasattr(prog, "field_rows") else None
+    if row is not None:
+        return sum(int(flimbs[0, row, i]) << (16 * i) for i in range(16))
+    return int(vals[0, slot])
+
+
+def test_to_bits_le_strict_matches():
+    nb = NativeBuilder()
+    s = nb.alloc_num()
+    views = nb.num_to_bits_le_strict(s)
+    assert len(views) == SCALAR.NUM_BITS
+    r_native, tape_n = nb.finish()
+
+    cs = ShapeCS()
+    a = AllocatedNum.alloc(cs, None)
+    a.to_bits_le_strict(cs)
+    assert_r1cs_equal(r_native, cs.finish())
+
+    # Witness semantics: decompose a random canonical value, device-eval
+    # both tapes, all slots must agree.
+    tape_p = TapeCS()
+    ap = AllocatedNum.alloc(tape_p, None)
+    ap.to_bits_le_strict(tape_p)
+
+    v = RNG.randrange(P)
+    prog_n, vals_n, fl_n = _run_witness(tape_n, free_field=[v])
+    prog_p, vals_p, fl_p = _run_witness(tape_p, free_field=[v])
+    assert prog_n.num_slots == prog_p.num_slots
+    np.testing.assert_array_equal(vals_n, vals_p)
+    # bit slots carry the LE decomposition of v
+    bit_slots = [vw >> 2 for vw in views]
+    got = [int(vals_n[0, nb_slot(r_native, sc)]) for sc in bit_slots]
+    want = [(v >> i) & 1 for i in range(SCALAR.NUM_BITS)]
+    assert got == want
+
+
+def nb_slot(r1cs, slotcode: int) -> int:
+    idx = slotcode >> 1
+    return r1cs.num_inputs + idx if (slotcode & 1) else idx
+
+
+def test_conditionally_reverse_matches():
+    nb = NativeBuilder()
+    cond = nb.alloc_bit()
+    sa = nb.alloc_num()
+    sb = nb.alloc_num()
+    sc, sd = nb.num_conditionally_reverse(sa, sb, cond)
+    r_native, tape_n = nb.finish()
+
+    cs = ShapeCS()
+    cb = Boolean.from_bit(AllocatedBit.alloc(cs, None))
+    a = AllocatedNum.alloc(cs, None)
+    b = AllocatedNum.alloc(cs, None)
+    AllocatedNum.conditionally_reverse(cs, a, b, cb)
+    assert_r1cs_equal(r_native, cs.finish())
+
+    va, vb = RNG.randrange(P), RNG.randrange(P)
+    for cv in (0, 1):
+        prog, vals, fl = _run_witness(tape_n, free_bits=[cv], free_field=[va, vb])
+        got_c = _field_value(prog, vals, fl, nb_slot(r_native, sc))
+        got_d = _field_value(prog, vals, fl, nb_slot(r_native, sd))
+        assert (got_c, got_d) == ((vb, va) if cv else (va, vb))
+
+
+def test_num_is_zero_matches():
+    nb = NativeBuilder()
+    s = nb.alloc_num()
+    rv = nb.num_is_zero(s)
+    r_native, tape_n = nb.finish()
+
+    cs = ShapeCS()
+    a = AllocatedNum.alloc(cs, None)
+    alloc_num_is_zero(cs, Num.from_allocated_num(SCALAR, a))
+    assert_r1cs_equal(r_native, cs.finish())
+
+    # The device witness op is u32/bit-domain (witness_program pins the
+    # small-coefficient contract); the free num value rides in the u32
+    # buffer, so drive it with small values.
+    for v, want in [(0, 1), (5, 0), (1, 0)]:
+        prog, vals, fl = _run_witness(tape_n, free_bits=[v])
+        assert int(vals[0, nb_slot(r_native, rv >> 2)]) == want, v
+
+
+def _coords(n):
+    return [(RNG.randrange(P), RNG.randrange(P)) for _ in range(n)]
+
+
+def test_lookup3_xy_matches():
+    coords = _coords(8)
+    nb = NativeBuilder()
+    bits = [nb.alloc_bit() for _ in range(3)]
+    sx, sy = nb.lookup3_xy(bits, coords)
+    r_native, tape_n = nb.finish()
+
+    cs = ShapeCS()
+    bs = [Boolean.from_bit(AllocatedBit.alloc(cs, None)) for _ in range(3)]
+    lookup3_xy(cs, bs, coords)
+    assert_r1cs_equal(r_native, cs.finish())
+
+    for i in range(8):
+        fb = [(i >> k) & 1 for k in range(3)]
+        prog, vals, fl = _run_witness(tape_n, free_bits=fb)
+        assert _field_value(prog, vals, fl, nb_slot(r_native, sx)) == coords[i][0]
+        assert _field_value(prog, vals, fl, nb_slot(r_native, sy)) == coords[i][1]
+
+
+def test_lookup3_xy_cn_matches():
+    coords = _coords(4)
+    nb = NativeBuilder()
+    bits = [nb.alloc_bit() for _ in range(3)]
+    sy = nb.lookup3_xy_with_conditional_negation(bits, coords)
+    r_native, tape_n = nb.finish()
+
+    cs = ShapeCS()
+    bs = [Boolean.from_bit(AllocatedBit.alloc(cs, None)) for _ in range(3)]
+    lookup3_xy_with_conditional_negation(cs, bs, coords)
+    assert_r1cs_equal(r_native, cs.finish())
+
+    for i in range(8):
+        fb = [(i >> k) & 1 for k in range(3)]
+        prog, vals, fl = _run_witness(tape_n, free_bits=fb)
+        want = coords[i & 3][1]
+        if i >> 2:
+            want = SCALAR.neg(want)
+        assert _field_value(prog, vals, fl, nb_slot(r_native, sy)) == want
+
+
+def test_mixed_circuit_synthesis_speed():
+    """sha256 + packing + is-zero synthesizes at C++ speed (<100 ms/block,
+    VERDICT r2 item 8's done criterion), with the whole num family on the
+    native path."""
+    from bellpepper_tpu.native import load_library
+
+    load_library()  # exclude the one-time .so build from the timing
+    best = float("inf")
+    for _rep in range(3):  # best-of-3: pin the floor, not scheduler noise
+        t0 = time.time()
+        nb = NativeBuilder()
+        in_bits = [nb.alloc_bit() for _ in range(512)]
+        digest = nb.sha256_compression(in_bits, nb.sha256_iv())
+        packed = nb.pack_bits(digest[:200])
+        nb.num_is_zero(packed)
+        s = nb.alloc_num()
+        nb.num_to_bits_le_strict(s)
+        r_native, tape = nb.finish()
+        best = min(best, time.time() - t0)
+    assert r_native.num_constraints > 26000
+    assert best < 0.1, f"mixed block synthesized in {best*1e3:.0f} ms"
