@@ -234,6 +234,119 @@ def _reduce16_rows(digit_rows: List[jnp.ndarray], consts: _Consts) -> List[jnp.n
     return x16[:L16]
 
 
+def _add_canon_rows(
+    a16: List[jnp.ndarray], b16: List[jnp.ndarray], consts: _Consts
+) -> List[jnp.ndarray]:
+    """canonical + canonical → canonical: carry to 17 limbs (< 2p < 2^256)
+    then ONE conditional subtract of p (branch-free, like _chain_rows)."""
+    s = _carry16_rows([a16[i] + b16[i] for i in range(L16)], 17)
+    ps = consts.ps[-1]  # p << 0 as 17 16-bit limbs
+    borrow = None
+    diff = []
+    for i in range(17):
+        d = s[i] - jnp.uint32(ps[i])
+        if borrow is not None:
+            d = d - borrow
+        borrow = d >> 31
+        diff.append(d & 0xFFFF)
+    keep = borrow == 0  # s >= p
+    return [jnp.where(keep, diff[i], s[i]) for i in range(L16)]
+
+
+# ---------------------------------------------------------------------------
+# Sequential field-chain kernel. Deep witness chains (x = (x·b + a)², 30+
+# reps — BASELINE config 1's shape, and the shape of any Horner/EC-ladder
+# style gadget) execute as one scan STEP PER OP in the generic witness
+# program: each step pays a kernel launch, two limb-major relayouts and a
+# row gather/scatter on [B, F, 16] HBM buffers, which dominates at small
+# per-step widths. When every chain-internal operand is the IMMEDIATELY
+# preceding op's output and all other operands are rep-invariant rows,
+# the whole chain runs in ONE kernel: the running value stays in VPU
+# registers, externals load once, and the only HBM traffic is streaming
+# the per-step outputs out (they are witness values and must be written).
+# ---------------------------------------------------------------------------
+_CHAIN_CACHE: Dict[tuple, object] = {}
+
+
+def make_chain_kernel(
+    field: PrimeField,
+    descs: Tuple[Tuple[str, object, object], ...],
+    n_reps: int,
+    n_ext: int,
+    interpret: bool = False,
+):
+    """Fused periodic field chain.
+
+    descs: d per-pattern-position ops ``(opcode, a_src, b_src)`` with
+    opcode in {"fmul", "fadd"} and src either "prev" (the previous op's
+    output; for the first op of the first rep, the x0 input) or an int k
+    (external operand k). Executes n_reps repetitions.
+
+    Returns run(x0, ext) with x0 uint32[16, N] and ext
+    uint32[max(n_ext,1)·16, N] (canonical limb-major, N a TILE multiple)
+    → uint32[n_reps·d·16, N]: every op's canonical output, in chain order.
+    """
+    key = (field.p, descs, n_reps, n_ext, interpret)
+    cached = _CHAIN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    consts = _Consts(field)
+    d = len(descs)
+    n_steps = n_reps * d
+
+    def kernel(x0_ref, ext_ref, o_ref):
+        ext = [
+            tuple(ext_ref[k * L16 + l] for l in range(L16))
+            for k in range(n_ext)
+        ]
+
+        def body(r, x):
+            cur = x
+            for j, (op, asrc, bsrc) in enumerate(descs):
+                a = cur if asrc == "prev" else ext[asrc]
+                b = cur if bsrc == "prev" else ext[bsrc]
+                if op == "fmul":
+                    res = _reduce16_rows(_conv16_rows(list(a), list(b)), consts)
+                else:
+                    res = _add_canon_rows(list(a), list(b), consts)
+                o_ref[pl.ds((r * d + j) * L16, L16)] = jnp.stack(res)
+                cur = tuple(res)
+            return cur
+
+        jax.lax.fori_loop(0, n_reps, body, tuple(x0_ref[l] for l in range(L16)))
+
+    @jax.jit
+    def run(x0, ext):
+        n = x0.shape[1]
+        assert n % TILE == 0, "pad batch to TILE"
+        grid = (n // TILE,)
+
+        def blk(rows):
+            return pl.BlockSpec(
+                (rows, SUB, LANES),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[blk(L16), blk(max(n_ext, 1) * L16)],
+            out_specs=blk(n_steps * L16),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_steps * L16, n // LANES, LANES), jnp.uint32
+            ),
+            interpret=interpret,
+        )(
+            x0.reshape(L16, n // LANES, LANES),
+            ext.reshape(max(n_ext, 1) * L16, n // LANES, LANES),
+        )
+        return out.reshape(n_steps * L16, n)
+
+    _CHAIN_CACHE[key] = run
+    return run
+
+
 SEMI = 17  # limbs of the semi-reduced form (< p·2^11 < 2^266)
 
 

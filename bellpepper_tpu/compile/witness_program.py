@@ -66,6 +66,117 @@ def _find_period(opcodes, max_d: int = MAX_PATTERN):
     return None
 
 
+_CHAIN_MAX_STEPS = 64  # per-kernel-call step cap: 64·16 rows ≈ 4 MB VMEM out block
+
+
+def _detect_linear_chain(run):
+    """If a scan run is a *linear periodic field chain* — every stage has
+    width 1, opcode in {fmul, fadd}, and SRC_ROW operands that are either
+    the IMMEDIATELY preceding stage's output row or rep-invariant external
+    rows — return a spec for field_pallas.make_chain_kernel, else None.
+
+    This is the shape of sequential gadget chains (x = (x·b + a)²,
+    Horner evaluation, hash-chain threading): the generic scan pays a
+    kernel launch + limb relayouts + a [B, F, 16] gather/scatter per op;
+    the fused kernel keeps the running value in VPU registers for the
+    whole chain (BASELINE config 1's witness side)."""
+    n = len(run)
+    if n < 2 * MIN_SCAN_RUN:
+        return None
+    raw = []
+    out_rows = []
+    out_slots = []
+    prev_out = None
+    for st in run:
+        if st.opcode not in ("fmul", "fadd"):
+            return None
+        slots = np.asarray(st.arrs["out_slots"])
+        if slots.shape != (1,):
+            return None
+        cls = []
+        for pfx in ("a", "b"):
+            if int(np.asarray(st.arrs[pfx + "_kind"])[0]) != SRC_ROW:
+                return None
+            idx = int(np.asarray(st.arrs[pfx + "_idx"])[0])
+            cls.append(
+                "prev" if prev_out is not None and idx == prev_out else ("row", idx)
+            )
+        prev_out = int(np.asarray(st.outs)[0])
+        out_rows.append(prev_out)
+        out_slots.append(int(slots[0]))
+        raw.append((st.opcode, cls[0], cls[1]))
+
+    produced = set(out_rows)
+    for d in range(1, MAX_PATTERN + 1):
+        if n % d or n // d < 2:
+            continue
+        # Canonical per-position descs come from rep 1 (rep 0's first
+        # stage reads the chain INIT as an external row where later reps
+        # read 'prev' — the only allowed anomaly).
+        descs = raw[d : 2 * d]
+        init_row = None
+        ok = True
+        for i, got in enumerate(raw):
+            exp = descs[i % d]
+            if got == exp:
+                continue
+            if i == 0 and got[0] == exp[0]:
+                rows0 = set()
+                anomaly = False
+                for slot in (1, 2):
+                    if got[slot] == exp[slot]:
+                        continue
+                    if exp[slot] == "prev" and isinstance(got[slot], tuple):
+                        rows0.add(got[slot][1])
+                        anomaly = True
+                    else:
+                        anomaly = False
+                        break
+                if anomaly and len(rows0) == 1:
+                    init_row = rows0.pop()
+                    continue
+            ok = False
+            break
+        if not ok:
+            continue
+        if any(c == "prev" for c in (descs[0][1], descs[0][2])):
+            if init_row is None:
+                continue  # no usable chain entry
+        else:
+            continue  # reps don't actually chain; generic scan handles it
+        ext_rows = []
+        seen = {}
+        final = []
+        for op, a, b in descs:
+            enc = []
+            for c in (a, b):
+                if c == "prev":
+                    enc.append("prev")
+                else:
+                    row = c[1]
+                    if row in produced:
+                        enc = None
+                        break
+                    if row not in seen:
+                        seen[row] = len(ext_rows)
+                        ext_rows.append(row)
+                    enc.append(seen[row])
+            if enc is None:
+                break
+            final.append((op, enc[0], enc[1]))
+        if len(final) != d or init_row in produced:
+            continue
+        return {
+            "descs": tuple(final),
+            "init_row": init_row,
+            "ext_rows": tuple(ext_rows),
+            "n_reps": n // d,
+            "out_rows": np.asarray(out_rows, np.int32),
+            "out_slots": np.asarray(out_slots, np.int32),
+        }
+    return None
+
+
 def _build_scan_tables(run, F_scratch: int, S_scratch: int):
     """Stack a run of field stages into per-step arrays for a lax.scan.
 
@@ -434,13 +545,14 @@ class WitnessProgram:
     # ------------------------------------------------------------------
     # evaluation
     # ------------------------------------------------------------------
-    def build(self, use_pallas: bool | None = None):
+    def build(self, use_pallas: bool | None = None, _interpret: bool = False):
         """Jitted evaluator: (free_bits[B, n_free], free_field[B, nf, 16]?)
         → (vals u32[B, S], flimbs u32[B, F, 16]).
 
         On TPU, field multiplies route through the Pallas kernel — the jnp
         multiply inlines ~1.5k HLO ops per stage, which makes programs with
-        many field stages take minutes to compile remotely."""
+        many field stages take minutes to compile remotely.
+        `_interpret` runs the Pallas kernels in interpret mode (tests)."""
         import jax as _jax
 
         if use_pallas is None:
@@ -449,7 +561,7 @@ class WitnessProgram:
         if use_pallas:
             from ..backend.field_pallas import TILE, get_pallas_ops
 
-            _ops = get_pallas_ops(self.field)
+            _ops = get_pallas_ops(self.field, interpret=_interpret)
 
             def fmul(a, b):
                 # a, b: [B, W, 16] → flat limb-major, padded to TILE.
@@ -477,6 +589,12 @@ class WitnessProgram:
         def flush_run():
             nonlocal run
             if len(run) >= MIN_SCAN_RUN:
+                if use_pallas:
+                    chain = _detect_linear_chain(run)
+                    if chain is not None:
+                        exec_plan.append(("chain", chain))
+                        run = []
+                        return
                 pattern = _find_period([st.opcode for st in run])
                 tables = _build_scan_tables(run, F, S)
                 if pattern is not None:
@@ -613,9 +731,66 @@ class WitnessProgram:
                 (vals, flimbs), _ = jax.lax.scan(body, (vals, flimbs), tables)
                 return vals, flimbs
 
+            def chain_run(spec, vals, flimbs):
+                # Fused sequential field chain: the running value stays in
+                # VPU registers across the whole run (see
+                # field_pallas.make_chain_kernel); split into ≤
+                # _CHAIN_MAX_STEPS-step kernel calls, threading the chain
+                # value between segments in limb-major form.
+                from ..backend.field_pallas import L16, make_chain_kernel
+
+                npad = -(-B // TILE) * TILE
+
+                def lm(x_bm):  # [B, k·16] → [k·16, npad]
+                    x = x_bm.T
+                    if npad != B:
+                        x = jnp.pad(x, ((0, 0), (0, npad - B)))
+                    return x
+
+                x0 = lm(flimbs[:, spec["init_row"]])
+                n_ext = len(spec["ext_rows"])
+                if n_ext:
+                    ext = jnp.transpose(
+                        flimbs[:, np.asarray(spec["ext_rows"], np.int32)],
+                        (1, 2, 0),
+                    ).reshape(n_ext * L16, B)
+                    if npad != B:
+                        ext = jnp.pad(ext, ((0, 0), (0, npad - B)))
+                else:
+                    ext = jnp.zeros((L16, npad), jnp.uint32)
+                d = len(spec["descs"])
+                n_reps = spec["n_reps"]
+                reps_per_seg = max(1, _CHAIN_MAX_STEPS // d)
+                outs = []
+                r = 0
+                while r < n_reps:
+                    seg = min(reps_per_seg, n_reps - r)
+                    runk = make_chain_kernel(
+                        self.field, spec["descs"], seg, n_ext,
+                        interpret=_interpret,
+                    )
+                    o = runk(x0, ext)  # [seg·d·16, npad]
+                    outs.append(o)
+                    x0 = o[-L16:]
+                    r += seg
+                out = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+                obm = (
+                    out[:, :B]
+                    .reshape(n_reps * d, L16, B)
+                    .transpose(2, 0, 1)
+                )  # [B, n_steps, 16]
+                flimbs = flimbs.at[:, spec["out_rows"]].set(obm)
+                vals = vals.at[:, spec["out_slots"]].set(
+                    obm[..., 0] | (obm[..., 1] << 16)
+                )
+                return vals, flimbs
+
             for plan_kind, item in exec_plan:
                 if plan_kind == "scan":
                     vals, flimbs = scan_run(item[0], item[1], vals, flimbs)
+                    continue
+                if plan_kind == "chain":
+                    vals, flimbs = chain_run(item, vals, flimbs)
                     continue
                 st = item
                 oc = st.opcode
