@@ -59,12 +59,13 @@ class FieldBackend:
         assert field.NUM_BITS <= 255, "backend supports fields up to 255 bits"
         self.field = field
         p = field.p
-        self.p_limbs16 = jnp.asarray(_int_to_limbs16(p))
-        self.p_limbs8 = jnp.asarray(_int_to_limbs8(p))
+        # Build every constant in numpy and ship them in ONE device_put:
+        # eager jnp ops here (asarray converts, .at[].set) each compile a
+        # tiny executable on first use — ~0.4 s apiece, ~3 s of pure
+        # warmup per fresh process, all avoidable host→device transfers.
         # Fold table: T[i, :] = 8-bit limbs of (2^(8*(32+i)) mod p), with
         # rows for every digit position a 512-bit product can reach.
         T = np.stack([_int_to_limbs8(pow(2, 8 * (L8 + i), p)) for i in range(34)])
-        self.fold_T = jnp.asarray(T)  # [34, 32] uint32, entries < 256
         # Shifted moduli for the final branch-free shift-subtract chain:
         # after the folds the value is < 2²⁶⁵, so the quotient is
         # < 2^(265 - (NUM_BITS-1)); one conditional subtract per
@@ -79,15 +80,27 @@ class FieldBackend:
                 for k in range(self._n_sub_steps - 1, -1, -1)
             ]
         )
-        self.p_shifted16 = jnp.asarray(PS)  # [n_steps, 17]
-        self.zero = jnp.zeros((L16,), jnp.uint32)
-        self.one = jnp.zeros((L16,), jnp.uint32).at[0].set(1)
+        one = np.zeros(L16, np.uint32)
+        one[0] = 1
         # Exponent bits for Fermat inversion: p - 2, MSB first (device
         # array so the square-and-multiply loop is a single fori_loop).
         nbits = (p - 2).bit_length()
-        self._inv_exp_bits = jnp.asarray(
-            [(p - 2) >> (nbits - 1 - i) & 1 for i in range(nbits)], dtype=jnp.uint32
+        consts = jax.device_put(
+            {
+                "p_limbs16": _int_to_limbs16(p),
+                "p_limbs8": _int_to_limbs8(p),
+                "fold_T": T,  # [34, 32] uint32, entries < 256
+                "p_shifted16": PS,  # [n_steps, 17]
+                "zero": np.zeros(L16, np.uint32),
+                "one": one,
+                "_inv_exp_bits": np.asarray(
+                    [(p - 2) >> (nbits - 1 - i) & 1 for i in range(nbits)],
+                    dtype=np.uint32,
+                ),
+            }
         )
+        for k, v in consts.items():
+            setattr(self, k, v)
 
     # ------------------------------------------------------------------
     # host conversions (numpy)

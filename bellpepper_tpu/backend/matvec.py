@@ -358,6 +358,24 @@ def build_row_chunked_eval(
             return v  # no padded entries — skip the mask multiply
         return v * mx["mask"][:, None]  # zero padded entries
 
+    def _ell_rowsum(v, deg, acc_dtype=None):
+        """Sum the ELL slot axis of v[rpc·deg, K] → [rpc, K] via strided
+        slices, NOT reshape(rpc, deg, K).sum(1): the 3-D reshape makes the
+        tiny deg axis a minor tiled dim, which XLA pads deg→128 — at
+        2^21-row chunks that turns a 512 MB temp into 32 GB (observed
+        compile-time OOM on v5e). deg-1 strided adds fuse cleanly."""
+        if deg == 1:
+            return v if acc_dtype is None else v.astype(acc_dtype)
+        if deg <= 16:
+            acc = v[0::deg] if acc_dtype is None else v[0::deg].astype(acc_dtype)
+            for i in range(1, deg):
+                acc = acc + v[i::deg]
+            return acc
+        out = v.reshape(v.shape[0] // deg, deg, v.shape[-1])
+        return out.sum(axis=1) if acc_dtype is None else out.sum(
+            axis=1, dtype=acc_dtype
+        )
+
     def _block(zsrc, cl, mx, name):
         v = _gathered(zsrc, cl, mx, name)
         if name in slice_names:
@@ -367,8 +385,8 @@ def build_row_chunked_eval(
             return be._reduce_wide8(be._split8(v))
         deg = ell_deg.get(name)
         digits = be._split8(v)
-        if deg is not None:  # dense ELL reshape-sum
-            rowsum = digits.reshape(rpc, deg, digits.shape[-1]).sum(axis=1)
+        if deg is not None:  # dense ELL slot-sum
+            rowsum = _ell_rowsum(digits, deg)
         else:
             rowsum = jax.ops.segment_sum(
                 digits, mx["lrow"], num_segments=rpc
@@ -406,7 +424,7 @@ def build_row_chunked_eval(
             v = _gathered(zsrc, cl, x, n)
             deg = ell_deg.get(n)
             if deg is not None and deg > 1:
-                v = v.reshape(rpc, deg, 16).sum(axis=1, dtype=jnp.uint32)
+                v = _ell_rowsum(v, deg, acc_dtype=jnp.uint32)
             outs.append(_carry16_semi(v))
         return tuple(outs)
 

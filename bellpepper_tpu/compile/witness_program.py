@@ -229,15 +229,62 @@ class _Stage:
     __slots__ = ("opcode", "outs", "arrs", "meta")
 
     def __init__(self, opcode, outs, arrs, meta=None):
-        # Arrays stay numpy here; _compile ships ALL stages to device in
-        # ONE batched device_put at the end (a pure transfer — embedding
-        # them as numpy literals bloats the HLO, jnp.asarray dispatches a
-        # compiled convert per shape, and per-array device_put paid ~140µs
-        # of dispatch overhead × thousands of stage arrays).
+        # Arrays stay numpy for the program's whole host life: build()
+        # pools every stage array into ONE flat device buffer per dtype
+        # (_ConstPool) and reads static slices at trace time. Shipping the
+        # ~3000 individual arrays instead (even as one batched device_put)
+        # paid per-array tunnel latency — 4.3 s of the flagship's 4.4 s
+        # host prep on the remote TPU backend; the pool is 2 transfers.
         self.opcode = opcode
         self.outs = np.asarray(outs)
         self.arrs = {k: np.asarray(v) for k, v in arrs.items()}
         self.meta = meta
+
+
+class _DevStage:
+    """Trace-time view of a _Stage whose arrays are pool slices."""
+
+    __slots__ = ("opcode", "outs", "arrs", "meta")
+
+    def __init__(self, st: "_Stage", dev):
+        self.opcode = st.opcode
+        self.outs = dev(st.outs)
+        self.arrs = {k: dev(v) for k, v in st.arrs.items()}
+        self.meta = st.meta
+
+
+class _ConstPool:
+    """Flat per-dtype constant pool. register() during planning; seal()
+    performs the single device_put per dtype; dev() returns the static
+    slice (reshaped) for a registered numpy array at trace time."""
+
+    def __init__(self):
+        self._parts: Dict[str, List[np.ndarray]] = defaultdict(list)
+        self._index: Dict[int, Tuple[str, int, Tuple[int, ...]]] = {}
+        self._keep: List[np.ndarray] = []  # pin ids against GC reuse
+        self._dev: Dict[str, jax.Array] = {}
+
+    def register(self, arr: np.ndarray) -> None:
+        if id(arr) in self._index:
+            return
+        key = str(arr.dtype)
+        parts = self._parts[key]
+        off = sum(p.size for p in parts)
+        parts.append(arr.reshape(-1))
+        self._index[id(arr)] = (key, off, arr.shape)
+        self._keep.append(arr)
+
+    def seal(self) -> None:
+        flat = {
+            k: np.concatenate(v) if v else np.zeros(0, k)
+            for k, v in self._parts.items()
+        }
+        self._dev = jax.device_put(flat)
+
+    def dev(self, arr: np.ndarray):
+        key, off, shape = self._index[id(arr)]
+        n = int(np.prod(shape)) if shape else 1
+        return jax.lax.slice(self._dev[key], (off,), (off + n,)).reshape(shape)
 
 
 class WitnessProgram:
@@ -535,10 +582,6 @@ class WitnessProgram:
             else:  # pragma: no cover
                 raise AssertionError(oc)
 
-        if stages:
-            moved = jax.device_put([(st.outs, st.arrs) for st in stages])
-            for st, (outs_d, arrs_d) in zip(stages, moved):
-                st.outs, st.arrs = outs_d, arrs_d
         self.stages = stages
         self.n_field_rows = len(field_rows)
 
@@ -619,6 +662,16 @@ class WitnessProgram:
                 exec_plan.append(("stage", st))
         flush_run()
         use_scratch = any(kind == "scan" for kind, _ in exec_plan)
+
+        # One flat device buffer per dtype for ALL per-stage arrays; the
+        # evaluator reads static slices at trace time (see _ConstPool).
+        pool = _ConstPool()
+        for kind, item in exec_plan:
+            if kind == "stage":
+                pool.register(item.outs)
+                for a in item.arrs.values():
+                    pool.register(a)
+        pool.seal()
 
         def lift(u32_vals):
             z = jnp.zeros(u32_vals.shape + (16,), jnp.uint32)
@@ -792,7 +845,7 @@ class WitnessProgram:
                 if plan_kind == "chain":
                     vals, flimbs = chain_run(item, vals, flimbs)
                     continue
-                st = item
+                st = _DevStage(item, pool.dev)
                 oc = st.opcode
                 if oc in ("xor", "and", "and_not", "nor"):
                     a = vals[:, st.arrs["a"]]
