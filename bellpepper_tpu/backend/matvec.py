@@ -1357,12 +1357,169 @@ def _build_trivial_limbs_check(
     return violations
 
 
+_PACKED_BLK_W = 16  # unpack/compute block: 16 words = 512 instances
+
+
+def _build_packed_bits_check(template: R1CS, batch: int, use_pallas: bool,
+                             _partition: bool):
+    """bits_packed templated check: z as uint32[S_t, batch/32] bit-sliced
+    packed words (WitnessProgram.build_packed layout).
+
+    The check's dominant cost is gather descriptors; here every gather
+    runs at the PACKED level — one descriptor per 32 instances — hoisted
+    out of the per-block loop. Unpack and the int32 small-row compare run
+    per 512-instance block inside a lax.map (bounds live int32 temps);
+    big rows unpack only their (remapped) used slots per block and ride
+    the existing fused bucket kernels at block batch."""
+    Rt0 = template.num_constraints
+    S_t = template.num_inputs + template.num_aux
+    blk_B = 32 * _PACKED_BLK_W
+    if batch % blk_B:
+        raise ValueError(f"bits_packed batch must be a multiple of {blk_B}")
+    n_blocks = batch // blk_B
+    Bw = batch // 32
+    if Rt0 == 0:
+        return lambda vals_p: jnp.zeros((0,), bool)
+    sh32 = jnp.arange(32, dtype=jnp.uint32)
+
+    def _unpack_block(seg):
+        """[n, BLK_W] packed words → [n, blk_B] 0/1 uint32."""
+        b = (seg[:, :, None] >> sh32) & jnp.uint32(1)
+        return b.reshape(seg.shape[0], blk_B)
+
+    part = _classify_small_rows(template) if _partition else None
+    if part is None:
+        inner = build_templated_check(
+            template, blk_B, use_pallas, "bits",
+            _partition=_partition, _slot_major=True,
+        )
+
+        def violations_packed_fb(vals_p):
+            def blk(w):
+                seg = jax.lax.dynamic_slice(
+                    vals_p, (0, w * _PACKED_BLK_W), (S_t, _PACKED_BLK_W)
+                )
+                return inner(_unpack_block(seg))
+
+            if n_blocks == 1:
+                return blk(jnp.int32(0))
+            masks = jax.lax.map(blk, jnp.arange(n_blocks))
+            return masks.reshape(batch * Rt0)
+
+        return violations_packed_fb
+
+    small_idx, big_idx, layouts = part
+    n_small, n_big = len(small_idx), len(big_idx)
+    dev_small = {
+        name: (jax.device_put(colp), jax.device_put(scop))
+        for name, (colp, scop) in layouts.items()
+    }
+    inv = np.empty(Rt0, np.int32)
+    inv[np.concatenate([small_idx, big_idx])] = np.arange(Rt0, dtype=np.int32)
+    inv_d = jax.device_put(inv)
+
+    big_viol = None
+    if n_big:
+        # Remap the big-row subsystem to its used slots only, so the
+        # per-block unpack materializes [n_used, blk_B], not the full
+        # slot space. ONE (slot 0) stays slot 0.
+        sub = _sub_rows_r1cs(template, big_idx)
+        used = np.unique(
+            np.concatenate(
+                [np.asarray(getattr(sub, n).cols) for n in ("a", "b", "c")]
+                + [np.zeros(1, np.int64)]
+            )
+        )
+        lut = np.zeros(S_t, np.int64)
+        lut[used] = np.arange(len(used))
+        from ..r1cs import COOMatrix
+
+        def _remap(m):
+            return COOMatrix(
+                rows=np.asarray(m.rows),
+                cols=lut[np.asarray(m.cols)].astype(np.int32),
+                coeff_ids=np.asarray(m.coeff_ids),
+            )
+
+        sub_r = R1CS(
+            field=sub.field,
+            num_inputs=1,
+            num_aux=len(used) - 1,
+            num_constraints=sub.num_constraints,
+            a=_remap(sub.a),
+            b=_remap(sub.b),
+            c=_remap(sub.c),
+            coeff_table=list(sub.coeff_table),
+            names=None,
+        )
+        used_d = jax.device_put(used.astype(np.int32))
+        big_viol = build_templated_check(
+            sub_r, blk_B, use_pallas, "bits",
+            _partition=False, _slot_major=True,
+        )
+
+    def violations_packed(vals_p):
+        assert vals_p.shape == (S_t, Bw), (
+            f"bits_packed z must be [S_t={S_t}, batch/32={Bw}], got "
+            f"{vals_p.shape}"
+        )
+        # Hoisted packed gathers (barriers keep XLA from re-fusing the
+        # gather into all n_blocks slices, recomputing it per block).
+        gath = {}
+        for name in ("a", "b", "c"):
+            colp, _ = dev_small[name]
+            gath[name] = jax.lax.optimization_barrier(
+                vals_p[colp.reshape(-1)]
+            )  # [ns·K, Bw]
+        gb = (
+            jax.lax.optimization_barrier(vals_p[used_d])
+            if big_viol is not None
+            else None
+        )  # [n_used, Bw]
+
+        def blk(w):
+            parts = []
+            evs = []
+            for name in ("a", "b", "c"):
+                colp, scop = dev_small[name]
+                ns, K = colp.shape
+                seg = jax.lax.dynamic_slice(
+                    gath[name],
+                    (0, w * _PACKED_BLK_W),
+                    (ns * K, _PACKED_BLK_W),
+                )
+                b32 = _unpack_block(seg).reshape(ns, K, blk_B).astype(
+                    jnp.int32
+                )
+                evs.append(jnp.sum(b32 * scop[:, :, None], axis=1))
+            bad_small = (evs[0] * evs[1]) != evs[2]  # [ns, blk_B]
+            parts.append(bad_small.T)
+            if big_viol is not None:
+                seg = jax.lax.dynamic_slice(
+                    gb, (0, w * _PACKED_BLK_W), (gb.shape[0], _PACKED_BLK_W)
+                )
+                bad_big = big_viol(_unpack_block(seg)).reshape(blk_B, n_big)
+                parts.append(bad_big)
+            comb = (
+                jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            )
+            return jnp.take(comb, inv_d, axis=1).reshape(blk_B * Rt0)
+
+        if n_blocks == 1:
+            return blk(jnp.int32(0))
+        masks = jax.lax.map(blk, jnp.arange(n_blocks))
+        return masks.reshape(batch * Rt0)
+
+    return violations_packed
+
+
 def build_templated_check(
     template: R1CS,
     batch: int,
     use_pallas: bool,
     witness_form: str = "limbs",
     _partition: bool = True,
+    _slot_major: bool = False,
 ):
     """Core of the templated satisfiability check (see TemplatedSatisfier).
 
@@ -1375,6 +1532,16 @@ def build_templated_check(
         small signed-coefficient bounds are checked exactly in int32 (see
         _classify_small_rows); only the rest (e.g. MultiEq packed rows)
         run the full limb pipeline.
+      * "bits_packed" — z given as uint32[S_t, batch/32] bit-sliced
+        packed words (slot-major; bit j of word w = instance 32·w + j,
+        the layout WitnessProgram.build_packed produces): all gathers
+        move packed words (32× less traffic per instance than "bits"),
+        small rows unpack in-register inside the int32 compare, and big
+        rows unpack per 512-instance block into the fused kernels.
+
+    `_slot_major` (bits form only): the returned function takes
+    bits_T uint32[S_t, B] instead of [B, S_t] (skips the transpose —
+    used by the packed path, whose blocks are already slot-major).
 
     Returns an UNJITTED function z → bool[B·Rt] violation mask in the
     ORIGINAL row order (instances major), suitable for jit or shard_map."""
@@ -1392,6 +1559,8 @@ def build_templated_check(
         return violations_empty
 
     Rt0 = template.num_constraints
+    if witness_form == "bits_packed":
+        return _build_packed_bits_check(template, batch, use_pallas, _partition)
     if witness_form == "bits" and Rt0 and _partition:
         part = _classify_small_rows(template)
         if part is not None:
@@ -1404,6 +1573,7 @@ def build_templated_check(
                     use_pallas,
                     "bits",
                     _partition=False,
+                    _slot_major=_slot_major,
                 )
                 if n_big
                 else None
@@ -1419,8 +1589,12 @@ def build_templated_check(
             inv_d = jax.device_put(inv)
 
             def violations_split(vals):
-                B = vals.shape[0]
-                bits_T = vals.T.astype(jnp.int32)  # [S_t, B], values 0/1
+                if _slot_major:
+                    B = vals.shape[1]
+                    bits_T = vals.astype(jnp.int32)  # [S_t, B], values 0/1
+                else:
+                    B = vals.shape[0]
+                    bits_T = vals.T.astype(jnp.int32)
                 evs = []
                 for name in ("a", "b", "c"):
                     colp, scop = dev_small[name]
@@ -1541,8 +1715,12 @@ def build_templated_check(
             return jnp.concatenate(az_parts, axis=1)  # [out_rows, Rtp, B]
 
         def violations_bits_fused(vals):
-            B = vals.shape[0]
-            bits_T = vals.T
+            if _slot_major:
+                B = vals.shape[1]
+                bits_T = vals
+            else:
+                B = vals.shape[0]
+                bits_T = vals.T
             az = matvec_bits_fused("a", bits_T).reshape(out_rows, Rtp * B)
             bz = matvec_bits_fused("b", bits_T).reshape(out_rows, Rtp * B)
             cz = matvec_bits_fused("c", bits_T).reshape(out_rows, Rtp * B)
@@ -1689,9 +1867,13 @@ def build_templated_check(
         return impl.reduce_digits_lm(rs.reshape(32, B * Rtp))
 
     def violations_bits(vals):
-        B = vals.shape[0]
-        bits_T = vals.T  # [S_t, B] — one relayout, then everything is
-        # batch-minor with shared-index row gathers.
+        if _slot_major:
+            B = vals.shape[1]
+            bits_T = vals
+        else:
+            B = vals.shape[0]
+            bits_T = vals.T  # [S_t, B] — one relayout, then everything
+            # is batch-minor with shared-index row gathers.
         az, bz, cz = (
             impl.reduce_digits_lm(
                 matvec_bits_raw(n, mats[n], bits_T).reshape(32, Rtp * B)

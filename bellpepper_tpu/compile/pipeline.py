@@ -146,6 +146,64 @@ def build_production_step(
     return step
 
 
+def build_packed_production_step(
+    prog,
+    template: R1CS,
+    batch: int,
+    use_pallas: Optional[bool] = None,
+):
+    """Bit-sliced production path in ONE dispatch: packed free bits for
+    n_chunks × batch instances → packed witness generation
+    (WitnessProgram.build_packed — 32 instances per uint32 word, ~32×
+    less witness HBM traffic than build()) → bits_packed templated
+    check → (total_bad, first_violation).
+
+    free_packed: uint32[n_chunks, batch/32, n_free], bit j of word w =
+    instance 32·w + j (pack_bits layout). batch must be a multiple of
+    512 (the check's unpack-block size)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    violations = build_templated_check(
+        template, batch, use_pallas, "bits_packed"
+    )
+    evaluator = prog.build_packed()
+    span = batch * template.num_constraints
+
+    @jax.jit
+    def step(free_packed):
+        assert free_packed.shape[1] == batch // 32
+
+        def body(carry, fp):
+            vals_p = evaluator(fp)  # [S_t, batch/32] slot-major packed
+            bad = violations(vals_p)
+            nb = jnp.sum(bad.astype(jnp.uint32))
+            first = jnp.argmax(bad).astype(jnp.uint32)
+            return carry, (nb, first)
+
+        _, (nbs, firsts) = jax.lax.scan(body, 0, free_packed)
+        return _aggregate(nbs, firsts, span)
+
+    return step
+
+
+def build_packed_chunked_witness(prog):
+    """Packed witness generation only, chunk-scanned in one dispatch:
+    free_packed [n_chunks, batch/32, n_free] → vals [n_chunks, S, batch/32]
+    (slot-major bit-sliced words; unpack_bits(vals[k].T) recovers the
+    [batch, S] 0/1 buffer)."""
+    evaluator = prog.build_packed()
+
+    @jax.jit
+    def gen(free_packed):
+        def body(carry, fp):
+            return carry, evaluator(fp)
+
+        _, out = jax.lax.scan(body, 0, free_packed)
+        return out
+
+    return gen
+
+
 def build_chunked_witness(prog, use_pallas: Optional[bool] = None):
     """Witness generation only, chunk-scanned in one dispatch:
     free_bits [n_chunks, batch, n_free] → vals [n_chunks, batch, S]

@@ -287,6 +287,33 @@ class _ConstPool:
         return jax.lax.slice(self._dev[key], (off,), (off + n,)).reshape(shape)
 
 
+# Opcodes the bit-sliced (packed) evaluator supports. Everything here is
+# a pure boolean function per bit — packing 32 instances into one uint32
+# word turns each into a full-word op (negation = ^0xFFFFFFFF); addmany
+# becomes a carry-save adder tree over bit planes.
+PACKED_OPS = {"xor", "and", "and_not", "nor", "ch", "maj", "addmany",
+              "num_iszero"}
+
+_FULL = 0xFFFFFFFF
+
+
+def pack_bits(bits):
+    """uint32[B, n] of 0/1 values → packed uint32[B//32, n]: bit j of
+    word w = instance 32·w + j. B must be a multiple of 32."""
+    B = bits.shape[0]
+    assert B % 32 == 0, "packed batch must be a multiple of 32"
+    r = jnp.asarray(bits, jnp.uint32).reshape(B // 32, 32, -1)
+    sh = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+    return jnp.sum(r << sh, axis=1, dtype=jnp.uint32)
+
+
+def unpack_bits(packed):
+    """packed uint32[Bw, n] → uint32[Bw·32, n] of 0/1 values."""
+    sh = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+    b = (jnp.asarray(packed, jnp.uint32)[:, None, :] >> sh) & jnp.uint32(1)
+    return b.reshape(packed.shape[0] * 32, -1)
+
+
 class WitnessProgram:
     def __init__(self, tape: TapeCS):
         self.field: PrimeField = tape.field
@@ -987,6 +1014,140 @@ class WitnessProgram:
             if use_scratch:
                 return vals[:, :S], flimbs[:, :F]
             return vals, flimbs
+
+        return jax.jit(evaluate)
+
+    @property
+    def is_packable(self) -> bool:
+        """True when the program can run on the bit-sliced (packed)
+        evaluator: pure-bit witness AND every stage opcode has a packed
+        implementation (see PACKED_OPS)."""
+        return self.is_pure_bits and all(
+            st.opcode in PACKED_OPS for st in self.stages
+        )
+
+    def build_packed(self):
+        """Bit-sliced jitted evaluator: 32 instances per uint32 word.
+
+        free_packed uint32[Bw, n_free] (bit j of word w = instance
+        32·w + j, free slots in allocation order) → vals uint32[S, Bw]
+        (slot-major, same packing; unpack with `unpack_bits(vals.T)`).
+
+        Rationale: the plain evaluator stores one BIT per uint32
+        ([B, S] — 32× the necessary HBM traffic on witness-bound steps).
+        Packed, every gather/scatter moves 32 instances per word, the
+        bitwise stages (xor/and/ch/maj, boolean.rs:101-272 formulas) are
+        full-word ops, and addmany (uint32.rs:304-406) runs as a
+        carry-save full-adder reduction over bit planes — ~5 vector ops
+        per input bit for 32 instances at once, instead of a weighted
+        sum per instance. Slot-major layout keeps the packed-word axis
+        minor (full lanes) and matches the checker's transpose."""
+        assert self.is_packable, (
+            "program has stages outside PACKED_OPS; use build()"
+        )
+        stages = self.stages
+        S = self.num_slots
+        free_slots = np.asarray(self.free_slots, np.int32)
+        pool = _ConstPool()
+        for st in stages:
+            pool.register(st.outs)
+            for a in st.arrs.values():
+                pool.register(a)
+        pool.seal()
+        FULL = jnp.uint32(_FULL)
+
+        def evaluate(free_packed):
+            Bw = free_packed.shape[0]
+            vals = jnp.zeros((S, Bw), jnp.uint32)
+            vals = vals.at[0].set(FULL)  # ONE → every instance 1
+            if len(free_slots):
+                vals = vals.at[free_slots].set(free_packed.T)
+
+            def bview(st, prefix):
+                v = vals[st.arrs[prefix + "_idx"]]  # [W, Bw]
+                v = v ^ (st.arrs[prefix + "_neg"] * FULL)[:, None]
+                return jnp.where(
+                    (st.arrs[prefix + "_isc"] == 1)[:, None],
+                    (st.arrs[prefix + "_cv"] * FULL)[:, None],
+                    v,
+                )
+
+            for item in stages:
+                st = _DevStage(item, pool.dev)
+                oc = st.opcode
+                if oc in ("xor", "and", "and_not", "nor"):
+                    a = vals[st.arrs["a"]]
+                    b = vals[st.arrs["b"]]
+                    r = (
+                        a ^ b
+                        if oc == "xor"
+                        else a & b
+                        if oc == "and"
+                        else a & ~b
+                        if oc == "and_not"
+                        else ~a & ~b
+                    )
+                    vals = vals.at[st.outs].set(r)
+                elif oc in ("ch", "maj"):
+                    a, b, c = bview(st, "a"), bview(st, "b"), bview(st, "c")
+                    r = (
+                        (a & b) ^ (~a & c)
+                        if oc == "ch"
+                        else (a & b) ^ (a & c) ^ (b & c)
+                    )
+                    vals = vals.at[st.outs].set(r)
+                elif oc == "addmany":
+                    n_words, n_out = st.meta
+                    bv = vals[st.arrs["idx"]]  # [W, nw, 32, Bw]
+                    bv = bv ^ (st.arrs["neg"] * FULL)[..., None]
+                    bv = jnp.where(
+                        (st.arrs["isc"] == 1)[..., None],
+                        (st.arrs["cv"] * FULL)[..., None],
+                        bv,
+                    )
+                    # Carry-save reduction: per bit position, full-adders
+                    # (3 planes → sum + carry into the next position)
+                    # until one plane remains. Carries past n_out-1 are
+                    # dead (mod-2^n_out semantics) and DCE'd by XLA.
+                    cols = [
+                        [bv[:, w, i] for w in range(n_words)]
+                        for i in range(32)
+                    ] + [[] for _ in range(max(0, n_out - 32) + 1)]
+                    outs = []
+                    zero = jnp.zeros_like(bv[:, 0, 0])
+                    for i in range(n_out):
+                        col = cols[i]
+                        while len(col) > 1:
+                            if len(col) >= 3:
+                                a1, b1, c1 = col.pop(), col.pop(), col.pop()
+                                s = a1 ^ b1 ^ c1
+                                cy = (a1 & b1) | (c1 & (a1 ^ b1))
+                            else:
+                                a1, b1 = col.pop(), col.pop()
+                                s = a1 ^ b1
+                                cy = a1 & b1
+                            col.append(s)
+                            cols[i + 1].append(cy)
+                        outs.append(col[0] if col else zero)
+                    r = jnp.stack(outs, axis=1)  # [W, n_out, Bw]
+                    vals = vals.at[st.outs].set(r)
+                elif oc == "num_iszero":
+                    v = vals[st.arrs["idx"]]  # [W, T, Bw]
+                    sh = jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
+                    b32 = (v[:, :, None, :] >> sh) & jnp.uint32(1)
+                    s = jnp.sum(
+                        b32 * st.arrs["cf"][:, :, None, None],
+                        axis=1,
+                        dtype=jnp.uint32,
+                    )  # [W, 32, Bw]
+                    isz = (s == 0).astype(jnp.uint32)
+                    shw = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+                    vals = vals.at[st.outs].set(
+                        jnp.sum(isz << shw, axis=1, dtype=jnp.uint32)
+                    )
+                else:  # pragma: no cover — guarded by is_packable
+                    raise AssertionError(oc)
+            return vals
 
         return jax.jit(evaluate)
 

@@ -12,10 +12,11 @@ Usage: python benchmarks/config5_synthetic_r1cs.py [log2_constraints]
            [n_devices] [log2_rows_per_chunk]
 Defaults: 2^20 rows on all local devices (set
 XLA_FLAGS=--xla_force_host_platform_device_count=8 + cpu platform for a
-virtual mesh); 2^21 rows per scan chunk — the TPU random-gather rate is
-~3.2x better for gathers of >= 2^21 indices (6.7 vs 21 ns/idx, measured
-in probe_gather_floor.py), so chunks must stay ABOVE that knee while
-keeping per-chunk digit-plane temps inside HBM."""
+virtual mesh); 2^19 rows per CHECK chunk and 2^17 per witness-completion
+chunk — both measured optima on v5e at 2^24 rows (13.3M c/s check /
+2.7s completion; the probe_gather_floor.py knee predicting gains at
+>= 2^21 indices does NOT transfer to this access pattern: rpc 2^20 and
+2^21 measured 1.6-1.8x SLOWER, see BASELINE.md)."""
 
 import json
 import os
@@ -89,8 +90,10 @@ def main():
     # overflow the compile transport at this size).
     from bellpepper_tpu.backend.matvec import build_row_chunked_product
 
-    log2_rpc = int(sys.argv[3]) if len(sys.argv) > 3 else 21
-    n_wit_chunks = max(1, R >> log2_rpc)
+    log2_rpc = int(sys.argv[3]) if len(sys.argv) > 3 else 19
+    # Witness completion (gather + Pallas modmul scan body) has its own
+    # measured chunk optimum, smaller than the check's.
+    n_wit_chunks = max(1, R >> min(log2_rpc, 17))
     prod_fn, prep_ab = build_row_chunked_product(r1cs, n_wit_chunks)
 
     from functools import partial

@@ -1,0 +1,130 @@
+"""Bit-sliced (packed) witness generation + bits_packed check.
+
+The packed evaluator stores 32 instances per uint32 word (batch-axis
+bit-slicing); it must reproduce the plain evaluator bit-exactly, and the
+bits_packed templated check must produce the same violation mask as the
+bits form — for satisfied AND corrupted witnesses, including corruptions
+that only violate a big (MultiEq-packed) row.
+
+Covers the TPU-shape of the reference's SizedWitness straight-line
+generation (witness_cs.rs:7-41) at 1/32nd the HBM traffic."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bellpepper_tpu.backend.matvec import build_templated_check
+from bellpepper_tpu.compile.pipeline import build_packed_production_step
+from bellpepper_tpu.compile.tape import TapeCS
+from bellpepper_tpu.compile.witness_program import (
+    WitnessProgram,
+    pack_bits,
+    unpack_bits,
+)
+from bellpepper_tpu.gadgets.boolean import AllocatedBit, Boolean
+from bellpepper_tpu.gadgets.multieq import MultiEq
+from bellpepper_tpu.gadgets.uint32 import UInt32
+from bellpepper_tpu.r1cs import ShapeCS
+
+RNG = np.random.default_rng(0x5962BE3D)
+
+
+def _addmany_setup():
+    """addmany circuit: booleanity/xor rows (small) + MultiEq rows (big)."""
+
+    def circuit(cs):
+        words = [UInt32.alloc(cs.namespace(f"w{i}"), None) for i in range(3)]
+        with MultiEq(cs) as mcs:
+            acc = words[0]
+            for i in range(1, 3):
+                acc = UInt32.addmany(mcs.namespace(f"add {i}"), [acc, words[i]])
+            acc.xor(mcs.namespace("x"), words[0].rotr(5))
+
+    shape = ShapeCS()
+    circuit(shape)
+    template = shape.finish()
+    tape = TapeCS()
+    circuit(tape)
+    return template, WitnessProgram(tape)
+
+
+def test_pack_unpack_roundtrip():
+    bits = RNG.integers(0, 2, size=(128, 37)).astype(np.uint32)
+    packed = pack_bits(jnp.asarray(bits))
+    assert packed.shape == (4, 37)
+    back = np.asarray(unpack_bits(packed))
+    assert (back == bits).all()
+
+
+def test_packed_evaluator_matches_plain_bit_ops():
+    def circuit(cs):
+        bits = [
+            Boolean.from_bit(AllocatedBit.alloc(cs.namespace(f"b{i}"), None))
+            for i in range(8)
+        ]
+        x = Boolean.xor(cs.namespace("x"), bits[0], bits[1])
+        y = Boolean.and_(cs.namespace("y"), x, bits[2].not_())
+        z = Boolean.and_(cs.namespace("z"), bits[3].not_(), bits[4].not_())
+        ch = Boolean.sha256_ch(cs.namespace("ch"), y, z, bits[5])
+        Boolean.sha256_maj(cs.namespace("maj"), ch, bits[6], bits[7].not_())
+
+    tape = TapeCS()
+    circuit(tape)
+    prog = WitnessProgram(tape)
+    assert prog.is_packable
+    B = 64
+    free = RNG.integers(0, 2, size=(B, len(prog.free_slots))).astype(np.uint32)
+    vals_ref, _ = prog.run(free)
+    vp = prog.build_packed()(pack_bits(jnp.asarray(free)))
+    assert (np.asarray(unpack_bits(vp.T)) == np.asarray(vals_ref)).all()
+
+
+def test_packed_evaluator_matches_plain_addmany():
+    template, prog = _addmany_setup()
+    assert prog.is_packable
+    B = 96
+    free = RNG.integers(0, 2, size=(B, len(prog.free_slots))).astype(np.uint32)
+    vals_ref, _ = prog.run(free)
+    vp = prog.build_packed()(pack_bits(jnp.asarray(free)))
+    assert (np.asarray(unpack_bits(vp.T)) == np.asarray(vals_ref)).all()
+
+
+def _packed_z(prog, B):
+    free = RNG.integers(0, 2, size=(B, len(prog.free_slots))).astype(np.uint32)
+    return prog.build_packed()(pack_bits(jnp.asarray(free)))
+
+
+def test_bits_packed_mask_matches_bits():
+    template, prog = _addmany_setup()
+    for B in (512, 1024):  # one block / two blocks (exercises lax.map)
+        vp = _packed_z(prog, B)  # [S, B/32]
+        viol_p = build_templated_check(template, B, False, "bits_packed")
+        viol_u = build_templated_check(template, B, False, "bits")
+        zb = jnp.asarray(unpack_bits(vp.T))  # [B, S]
+        m_u = np.asarray(jax.jit(viol_u)(zb))
+        m_p = np.asarray(jax.jit(viol_p)(vp))
+        assert m_u.sum() == 0, "witness must satisfy the template"
+        assert (m_u == m_p).all()
+
+        # Corrupt one witness bit (a small booleanity row's variable) and
+        # one bit that only violates big MultiEq rows (an addmany result
+        # bit participates in both; flipping a free input bit feeds both
+        # row classes) — masks must stay identical and nonzero.
+        for slot, word, bit in ((5, 2, 7), (prog.num_slots - 2, 0, 31)):
+            vpb = vp.at[slot, word].set(vp[slot, word] ^ np.uint32(1 << bit))
+            zbb = jnp.asarray(unpack_bits(vpb.T))
+            m_u = np.asarray(jax.jit(viol_u)(zbb))
+            m_p = np.asarray(jax.jit(viol_p)(vpb))
+            assert m_u.sum() > 0
+            assert (m_u == m_p).all()
+
+
+def test_packed_production_step():
+    template, prog = _addmany_setup()
+    B, n_chunks = 512, 2
+    free = RNG.integers(
+        0, 1 << 32, size=(n_chunks, B // 32, len(prog.free_slots)), dtype=np.uint64
+    ).astype(np.uint32)
+    step = build_packed_production_step(prog, template, B, use_pallas=False)
+    total, _first = step(jnp.asarray(free))
+    assert int(total) == 0
