@@ -1362,8 +1362,9 @@ _PACKED_BLK_W = 16  # unpack/compute block: 16 words = 512 instances
 
 def _build_packed_bits_check(template: R1CS, batch: int, use_pallas: bool,
                              _partition: bool):
-    """bits_packed templated check: z as uint32[S_t, batch/32] bit-sliced
-    packed words (WitnessProgram.build_packed layout).
+    """bits_packed templated check: z as uint32[batch/32, S_t] bit-sliced
+    packed words (WitnessProgram.build_packed's batch-major layout;
+    transposed to slot-major once on entry, like the bits form's vals.T).
 
     The check's dominant cost is gather descriptors; here every gather
     runs at the PACKED level — one descriptor per 32 instances — hoisted
@@ -1380,7 +1381,10 @@ def _build_packed_bits_check(template: R1CS, batch: int, use_pallas: bool,
     Bw = batch // 32
     if Rt0 == 0:
         return lambda vals_p: jnp.zeros((0,), bool)
-    sh32 = jnp.arange(32, dtype=jnp.uint32)
+    # numpy (not jnp) on purpose: an eager jnp array is device-resident
+    # and, captured as a jit constant, is fetched back through the axon
+    # tunnel during MLIR lowering (~70 s/array — see _ConstPool).
+    sh32 = np.arange(32, dtype=np.uint32)
 
     def _unpack_block(seg):
         """[n, BLK_W] packed words → [n, blk_B] 0/1 uint32."""
@@ -1394,7 +1398,8 @@ def _build_packed_bits_check(template: R1CS, batch: int, use_pallas: bool,
             _partition=_partition, _slot_major=True,
         )
 
-        def violations_packed_fb(vals_p):
+        def violations_packed_fb(vals_bm):
+            vals_p = vals_bm.T  # [S_t, Bw] slot-major
             def blk(w):
                 seg = jax.lax.dynamic_slice(
                     vals_p, (0, w * _PACKED_BLK_W), (S_t, _PACKED_BLK_W)
@@ -1458,11 +1463,12 @@ def _build_packed_bits_check(template: R1CS, batch: int, use_pallas: bool,
             _partition=False, _slot_major=True,
         )
 
-    def violations_packed(vals_p):
-        assert vals_p.shape == (S_t, Bw), (
-            f"bits_packed z must be [S_t={S_t}, batch/32={Bw}], got "
-            f"{vals_p.shape}"
+    def violations_packed(vals_bm):
+        assert vals_bm.shape == (Bw, S_t), (
+            f"bits_packed z must be [batch/32={Bw}, S_t={S_t}], got "
+            f"{vals_bm.shape}"
         )
+        vals_p = vals_bm.T  # [S_t, Bw] slot-major for the row gathers
         # Hoisted packed gathers (barriers keep XLA from re-fusing the
         # gather into all n_blocks slices, recomputing it per block).
         gath = {}

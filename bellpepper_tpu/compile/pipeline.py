@@ -174,7 +174,7 @@ def build_packed_production_step(
         assert free_packed.shape[1] == batch // 32
 
         def body(carry, fp):
-            vals_p = evaluator(fp)  # [S_t, batch/32] slot-major packed
+            vals_p = evaluator(fp)  # [batch/32, S_t] batch-major packed
             bad = violations(vals_p)
             nb = jnp.sum(bad.astype(jnp.uint32))
             first = jnp.argmax(bad).astype(jnp.uint32)
@@ -188,8 +188,8 @@ def build_packed_production_step(
 
 def build_packed_chunked_witness(prog):
     """Packed witness generation only, chunk-scanned in one dispatch:
-    free_packed [n_chunks, batch/32, n_free] → vals [n_chunks, S, batch/32]
-    (slot-major bit-sliced words; unpack_bits(vals[k].T) recovers the
+    free_packed [n_chunks, batch/32, n_free] → vals [n_chunks, batch/32, S]
+    (batch-major bit-sliced words; unpack_bits(vals[k]) recovers the
     [batch, S] 0/1 buffer)."""
     evaluator = prog.build_packed()
 

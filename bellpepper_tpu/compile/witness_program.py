@@ -222,7 +222,10 @@ def _build_scan_tables(run, F_scratch: int, S_scratch: int):
             if oc in ("fadd", "fmul"):
                 t["b_kind"][i, :w] = np.asarray(st.arrs["b_kind"])
                 t["b_idx"][i, :w] = np.asarray(st.arrs["b_idx"])
-    return jax.device_put(t)  # one batched transfer for the whole table
+    # Host numpy on purpose: the tables embed as jit constants; device
+    # arrays would be fetched BACK through the tunnel during MLIR
+    # lowering (~70 s/buffer on the remote backend — see _ConstPool).
+    return t
 
 
 class _Stage:
@@ -253,16 +256,36 @@ class _DevStage:
         self.meta = st.meta
 
 
+class _PackedStage:
+    """Trace-time stage view for the packed evaluator (remapped arrs;
+    outputs addressed by contiguous row block, not by `outs`)."""
+
+    __slots__ = ("opcode", "meta", "arrs")
+
+    def __init__(self, opcode, meta, arrs):
+        self.opcode = opcode
+        self.meta = meta
+        self.arrs = arrs
+
+
 class _ConstPool:
     """Flat per-dtype constant pool. register() during planning; seal()
-    performs the single device_put per dtype; dev() returns the static
-    slice (reshaped) for a registered numpy array at trace time."""
+    concatenates each dtype's arrays into ONE flat numpy buffer; dev()
+    returns the static slice (reshaped) at trace time.
+
+    The flat buffers stay NUMPY on purpose: captured as jit constants
+    they embed into the program from host memory. A device-resident
+    constant instead forces MLIR lowering to FETCH the array back
+    through the axon tunnel (`_array_mlir_constant_handler` → `_value`)
+    at ~70 s per buffer — 213 s of a 215 s `lower()` measured on the
+    remote TPU backend. Two big host literals upload once with the
+    executable and cost nothing at trace time."""
 
     def __init__(self):
         self._parts: Dict[str, List[np.ndarray]] = defaultdict(list)
         self._index: Dict[int, Tuple[str, int, Tuple[int, ...]]] = {}
         self._keep: List[np.ndarray] = []  # pin ids against GC reuse
-        self._dev: Dict[str, jax.Array] = {}
+        self._flat: Dict[str, np.ndarray] = {}
 
     def register(self, arr: np.ndarray) -> None:
         if id(arr) in self._index:
@@ -275,16 +298,15 @@ class _ConstPool:
         self._keep.append(arr)
 
     def seal(self) -> None:
-        flat = {
+        self._flat = {
             k: np.concatenate(v) if v else np.zeros(0, k)
             for k, v in self._parts.items()
         }
-        self._dev = jax.device_put(flat)
 
     def dev(self, arr: np.ndarray):
         key, off, shape = self._index[id(arr)]
         n = int(np.prod(shape)) if shape else 1
-        return jax.lax.slice(self._dev[key], (off,), (off + n,)).reshape(shape)
+        return jax.lax.slice(self._flat[key], (off,), (off + n,)).reshape(shape)
 
 
 # Opcodes the bit-sliced (packed) evaluator supports. Everything here is
@@ -1030,8 +1052,8 @@ class WitnessProgram:
         """Bit-sliced jitted evaluator: 32 instances per uint32 word.
 
         free_packed uint32[Bw, n_free] (bit j of word w = instance
-        32·w + j, free slots in allocation order) → vals uint32[S, Bw]
-        (slot-major, same packing; unpack with `unpack_bits(vals.T)`).
+        32·w + j, free slots in allocation order) → vals uint32[Bw, S]
+        (batch-major, same packing; unpack with `unpack_bits(vals)`).
 
         Rationale: the plain evaluator stores one BIT per uint32
         ([B, S] — 32× the necessary HBM traffic on witness-bound steps).
@@ -1040,44 +1062,112 @@ class WitnessProgram:
         full-word ops, and addmany (uint32.rs:304-406) runs as a
         carry-save full-adder reduction over bit planes — ~5 vector ops
         per input bit for 32 instances at once, instead of a weighted
-        sum per instance. Slot-major layout keeps the packed-word axis
-        minor (full lanes) and matches the checker's transpose."""
+        sum per instance. Batch-major [Bw, S] layout mirrors build()'s
+        proven [B, S] access patterns exactly (minor-axis gathers,
+        contiguous column-block writes): a slot-major [S, Bw] variant
+        hit an XLA:TPU codegen fault at Bw >= 128 (wrong adder outputs
+        flipping with unrelated program edits, worker crashes with
+        multi-dim scatter indices)."""
         assert self.is_packable, (
             "program has stages outside PACKED_OPS; use build()"
         )
         stages = self.stages
         S = self.num_slots
-        free_slots = np.asarray(self.free_slots, np.int32)
+        free_slots = np.asarray(self.free_slots, np.int64)
+
+        # SCATTER-FREE layout: permute slots so every stage's outputs
+        # occupy one contiguous row block. The seed block (ONE, free
+        # slots, any unproduced slots) assembles by CONCATENATION and
+        # each stage writes with ONE dynamic_update_slice; all operand
+        # indices are remapped host-side. Rationale: XLA:TPU miscompiles
+        # scatter→gather chains on a [S, Bw] uint32 buffer at Bw >= 128
+        # (silently wrong rows read by downstream gathers; worker
+        # "kernel fault" crashes with multi-dim scatter indices) — and
+        # contiguous block writes are faster than row scatters anyway.
+        # One inverse-permutation gather at the end restores slot order.
+        row_of_slot = np.full(S, -1, np.int64)
+        row_of_slot[0] = 0
+        cursor = 1
+        for s in free_slots:
+            if row_of_slot[s] < 0:
+                row_of_slot[s] = cursor
+                cursor += 1
+        produced = [np.asarray(st.outs).reshape(-1) for st in stages]
+        prod_mask = np.zeros(S, bool)
+        for outs_flat in produced:
+            prod_mask[outs_flat] = True
+        rest = np.nonzero((row_of_slot < 0) & ~prod_mask)[0]
+        for s in rest:
+            row_of_slot[s] = cursor
+            cursor += 1
+        n_seed = cursor  # rows [0, n_seed) = concat-assembled seed block
+        stage_base = []
+        for outs_flat in produced:
+            stage_base.append(cursor)
+            row_of_slot[outs_flat] = cursor + np.arange(len(outs_flat))
+            cursor += len(outs_flat)
+        assert cursor == S and (row_of_slot >= 0).all()
+
+        # Remapped per-stage index arrays (copies — the _Stage arrays
+        # are shared with build()), pooled like build()'s.
+        _IDX_KEYS = {"a", "b", "a_idx", "b_idx", "c_idx", "idx"}
         pool = _ConstPool()
+        remapped: List[Dict[str, np.ndarray]] = []
         for st in stages:
-            pool.register(st.outs)
-            for a in st.arrs.values():
-                pool.register(a)
+            arrs = {}
+            for k, v in st.arrs.items():
+                if k in _IDX_KEYS:
+                    v = row_of_slot[v].astype(np.int32)
+                arrs[k] = v
+                pool.register(v)
+            remapped.append(arrs)
+        unperm = row_of_slot.astype(np.int32)  # out[slot] = vals[unperm[slot]]
+        pool.register(unperm)
         pool.seal()
-        FULL = jnp.uint32(_FULL)
+        # numpy scalar on purpose: an eager jnp constant is a DEVICE
+        # array; captured in the trace it must be fetched back through
+        # the tunnel during MLIR lowering (~70 s/array — see _ConstPool).
+        FULL = np.uint32(_FULL)
+        n_free = len(free_slots)
 
         def evaluate(free_packed):
             Bw = free_packed.shape[0]
-            vals = jnp.zeros((S, Bw), jnp.uint32)
-            vals = vals.at[0].set(FULL)  # ONE → every instance 1
-            if len(free_slots):
-                vals = vals.at[free_slots].set(free_packed.T)
+            parts = [jnp.full((Bw, 1), FULL, jnp.uint32)]  # ONE
+            if n_free:
+                parts.append(free_packed)
+            if n_seed > 1 + n_free:
+                parts.append(
+                    jnp.zeros((Bw, n_seed - 1 - n_free), jnp.uint32)
+                )
+            parts.append(jnp.zeros((Bw, S - n_seed), jnp.uint32))
+            vals = jnp.concatenate(parts, axis=1)  # [Bw, S] permuted
+
+            def cols(idx):
+                return vals[:, idx]  # [Bw] + idx.shape
+
+            def put(base, r2d):
+                return jax.lax.dynamic_update_slice(vals, r2d, (0, base))
 
             def bview(st, prefix):
-                v = vals[st.arrs[prefix + "_idx"]]  # [W, Bw]
-                v = v ^ (st.arrs[prefix + "_neg"] * FULL)[:, None]
+                v = cols(st.arrs[prefix + "_idx"])  # [Bw, W]
+                v = v ^ (st.arrs[prefix + "_neg"] * FULL)[None, :]
                 return jnp.where(
-                    (st.arrs[prefix + "_isc"] == 1)[:, None],
-                    (st.arrs[prefix + "_cv"] * FULL)[:, None],
+                    (st.arrs[prefix + "_isc"] == 1)[None, :],
+                    (st.arrs[prefix + "_cv"] * FULL)[None, :],
                     v,
                 )
 
-            for item in stages:
-                st = _DevStage(item, pool.dev)
+            for si, item in enumerate(stages):
+                st = _PackedStage(
+                    item.opcode,
+                    item.meta,
+                    {k: pool.dev(v) for k, v in remapped[si].items()},
+                )
+                base = stage_base[si]
                 oc = st.opcode
                 if oc in ("xor", "and", "and_not", "nor"):
-                    a = vals[st.arrs["a"]]
-                    b = vals[st.arrs["b"]]
+                    a = cols(st.arrs["a"])
+                    b = cols(st.arrs["b"])
                     r = (
                         a ^ b
                         if oc == "xor"
@@ -1087,7 +1177,7 @@ class WitnessProgram:
                         if oc == "and_not"
                         else ~a & ~b
                     )
-                    vals = vals.at[st.outs].set(r)
+                    vals = put(base, r)
                 elif oc in ("ch", "maj"):
                     a, b, c = bview(st, "a"), bview(st, "b"), bview(st, "c")
                     r = (
@@ -1095,59 +1185,75 @@ class WitnessProgram:
                         if oc == "ch"
                         else (a & b) ^ (a & c) ^ (b & c)
                     )
-                    vals = vals.at[st.outs].set(r)
+                    vals = put(base, r)
                 elif oc == "addmany":
                     n_words, n_out = st.meta
-                    bv = vals[st.arrs["idx"]]  # [W, nw, 32, Bw]
-                    bv = bv ^ (st.arrs["neg"] * FULL)[..., None]
+                    bv = cols(st.arrs["idx"])  # [Bw, W, nw, 32]
+                    bv = bv ^ (st.arrs["neg"] * FULL)[None]
                     bv = jnp.where(
-                        (st.arrs["isc"] == 1)[..., None],
-                        (st.arrs["cv"] * FULL)[..., None],
+                        (st.arrs["isc"] == 1)[None],
+                        (st.arrs["cv"] * FULL)[None],
                         bv,
                     )
-                    # Carry-save reduction: per bit position, full-adders
-                    # (3 planes → sum + carry into the next position)
-                    # until one plane remains. Carries past n_out-1 are
-                    # dead (mod-2^n_out semantics) and DCE'd by XLA.
-                    cols = [
-                        [bv[:, w, i] for w in range(n_words)]
-                        for i in range(32)
-                    ] + [[] for _ in range(max(0, n_out - 32) + 1)]
-                    outs = []
-                    zero = jnp.zeros_like(bv[:, 0, 0])
-                    for i in range(n_out):
-                        col = cols[i]
-                        while len(col) > 1:
-                            if len(col) >= 3:
-                                a1, b1, c1 = col.pop(), col.pop(), col.pop()
-                                s = a1 ^ b1 ^ c1
-                                cy = (a1 & b1) | (c1 & (a1 ^ b1))
-                            else:
-                                a1, b1 = col.pop(), col.pop()
-                                s = a1 ^ b1
-                                cy = a1 & b1
-                            col.append(s)
-                            cols[i + 1].append(cy)
-                        outs.append(col[0] if col else zero)
-                    r = jnp.stack(outs, axis=1)  # [W, n_out, Bw]
-                    vals = vals.at[st.outs].set(r)
+                    if n_out > 32:
+                        bv = jnp.pad(
+                            bv, ((0, 0), (0, 0), (0, 0), (0, n_out - 32))
+                        )
+                    # Vectorized over bit positions (a per-position FA
+                    # loop emits ~2k HLO ops per stage — minutes of
+                    # remote compile): CSA 3:2 layers reduce the addend
+                    # list to two whole words, then one Kogge-Stone
+                    # prefix add resolves carries in log2(n_out) levels.
+                    # Carries past n_out-1 are dead (mod-2^n_out).
+                    addends = [bv[:, :, w] for w in range(n_words)]
+
+                    def sh(x, d=1):  # shift toward MSB along positions
+                        return jnp.pad(x, ((0, 0), (0, 0), (d, 0)))[
+                            :, :, :n_out
+                        ]
+
+                    while len(addends) > 2:
+                        nxt = []
+                        for i in range(0, len(addends) - 2, 3):
+                            a1, b1, c1 = addends[i : i + 3]
+                            nxt.append(a1 ^ b1 ^ c1)
+                            nxt.append(sh((a1 & b1) | (c1 & (a1 ^ b1))))
+                        rem = len(addends) % 3
+                        if rem:
+                            nxt.extend(addends[-rem:])
+                        addends = nxt
+                    if len(addends) == 1:
+                        r = addends[0]
+                    else:
+                        a1, b1 = addends
+                        g = a1 & b1
+                        p = a1 ^ b1
+                        gk, pk, d = g, p, 1
+                        while d < n_out:
+                            gk = gk | (pk & sh(gk, d))
+                            pk = pk & sh(pk, d)
+                            d *= 2
+                        r = p ^ sh(gk)  # sum = p xor carry-in
+                    vals = put(base, r.reshape(Bw, -1))
                 elif oc == "num_iszero":
-                    v = vals[st.arrs["idx"]]  # [W, T, Bw]
-                    sh = jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
-                    b32 = (v[:, :, None, :] >> sh) & jnp.uint32(1)
+                    v = cols(st.arrs["idx"])  # [Bw, W, T]
+                    sh32_t = jnp.arange(32, dtype=jnp.uint32)
+                    b32 = (v[..., None] >> sh32_t) & jnp.uint32(1)
                     s = jnp.sum(
-                        b32 * st.arrs["cf"][:, :, None, None],
-                        axis=1,
+                        b32 * st.arrs["cf"][None, :, :, None],
+                        axis=2,
                         dtype=jnp.uint32,
-                    )  # [W, 32, Bw]
+                    )  # [Bw, W, 32]
                     isz = (s == 0).astype(jnp.uint32)
-                    shw = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
-                    vals = vals.at[st.outs].set(
-                        jnp.sum(isz << shw, axis=1, dtype=jnp.uint32)
+                    vals = put(
+                        base, jnp.sum(isz << sh32_t, axis=-1, dtype=jnp.uint32)
                     )
                 else:  # pragma: no cover — guarded by is_packable
                     raise AssertionError(oc)
-            return vals
+            # Undo the contiguous-block permutation: out[:, slot] =
+            # vals[:, row_of_slot[slot]] — one column gather at the end.
+            u = pool.dev(unperm)
+            return vals[:, u]
 
         return jax.jit(evaluate)
 

@@ -76,7 +76,7 @@ def test_packed_evaluator_matches_plain_bit_ops():
     free = RNG.integers(0, 2, size=(B, len(prog.free_slots))).astype(np.uint32)
     vals_ref, _ = prog.run(free)
     vp = prog.build_packed()(pack_bits(jnp.asarray(free)))
-    assert (np.asarray(unpack_bits(vp.T)) == np.asarray(vals_ref)).all()
+    assert (np.asarray(unpack_bits(vp)) == np.asarray(vals_ref)).all()
 
 
 def test_packed_evaluator_matches_plain_addmany():
@@ -86,7 +86,7 @@ def test_packed_evaluator_matches_plain_addmany():
     free = RNG.integers(0, 2, size=(B, len(prog.free_slots))).astype(np.uint32)
     vals_ref, _ = prog.run(free)
     vp = prog.build_packed()(pack_bits(jnp.asarray(free)))
-    assert (np.asarray(unpack_bits(vp.T)) == np.asarray(vals_ref)).all()
+    assert (np.asarray(unpack_bits(vp)) == np.asarray(vals_ref)).all()
 
 
 def _packed_z(prog, B):
@@ -97,10 +97,10 @@ def _packed_z(prog, B):
 def test_bits_packed_mask_matches_bits():
     template, prog = _addmany_setup()
     for B in (512, 1024):  # one block / two blocks (exercises lax.map)
-        vp = _packed_z(prog, B)  # [S, B/32]
+        vp = _packed_z(prog, B)  # [B/32, S]
         viol_p = build_templated_check(template, B, False, "bits_packed")
         viol_u = build_templated_check(template, B, False, "bits")
-        zb = jnp.asarray(unpack_bits(vp.T))  # [B, S]
+        zb = jnp.asarray(unpack_bits(vp))  # [B, S]
         m_u = np.asarray(jax.jit(viol_u)(zb))
         m_p = np.asarray(jax.jit(viol_p)(vp))
         assert m_u.sum() == 0, "witness must satisfy the template"
@@ -111,8 +111,8 @@ def test_bits_packed_mask_matches_bits():
         # bit participates in both; flipping a free input bit feeds both
         # row classes) — masks must stay identical and nonzero.
         for slot, word, bit in ((5, 2, 7), (prog.num_slots - 2, 0, 31)):
-            vpb = vp.at[slot, word].set(vp[slot, word] ^ np.uint32(1 << bit))
-            zbb = jnp.asarray(unpack_bits(vpb.T))
+            vpb = vp.at[word, slot].set(vp[word, slot] ^ np.uint32(1 << bit))
+            zbb = jnp.asarray(unpack_bits(vpb))
             m_u = np.asarray(jax.jit(viol_u)(zbb))
             m_p = np.asarray(jax.jit(viol_p)(vpb))
             assert m_u.sum() > 0
