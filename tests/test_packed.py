@@ -119,6 +119,27 @@ def test_bits_packed_mask_matches_bits():
             assert (m_u == m_p).all()
 
 
+def test_packed_verdict_matches_mask():
+    """The reduced (nb, first) verdict must agree with the full mask —
+    including `first` as the min instance-major flat violation index —
+    for small-row and big-row corruptions."""
+    template, prog = _addmany_setup()
+    B = 1024
+    vp = _packed_z(prog, B)
+    viol = build_templated_check(template, B, False, "bits_packed")
+    verdict = jax.jit(viol.verdict)
+    mask_fn = jax.jit(viol)
+    m = np.asarray(mask_fn(vp))
+    nb, _first = verdict(vp)
+    assert int(nb) == m.sum() == 0
+    for slot, word, bit in ((5, 2, 7), (prog.num_slots - 2, 0, 31), (1, 0, 0)):
+        vpb = vp.at[word, slot].set(vp[word, slot] ^ np.uint32(1 << bit))
+        m = np.asarray(mask_fn(vpb))
+        nb, first = verdict(vpb)
+        assert int(nb) == m.sum() > 0
+        assert int(first) == int(np.argmax(m))
+
+
 def test_packed_production_step():
     template, prog = _addmany_setup()
     B, n_chunks = 512, 2
