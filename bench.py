@@ -2,12 +2,12 @@
 """bellpepper_tpu headline benchmark.
 
 Flagship configuration (BASELINE.json): batches of SHA-256 compression
-circuits. Measures the FULL production path in one dispatch — free input
-bits → device witness generation → templated R1CS satisfiability — as a
-single jitted program that lax.scans over instance chunks
-(compile/pipeline.py). One dispatch per step amortizes the ~35 ms
-tunnel fixed cost; the check itself runs on the fused Pallas matvec
-kernels (mask + MXU row-sum + in-kernel digit reduction).
+circuits. Measures the FULL production path in one dispatch — packed
+free input bits → bit-sliced device witness generation (32 instances
+per uint32 word, WitnessProgram.build_packed) → bits_packed templated
+satisfiability with the reduced (n_bad, first) verdict — as a single
+jitted program (compile/pipeline.build_packed_production_step). One
+dispatch per step amortizes the ~35 ms tunnel fixed cost.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -33,8 +33,11 @@ def main():
         pass
     import jax.numpy as jnp
 
-    from bellpepper_tpu.backend.matvec import TemplatedSatisfier
-    from bellpepper_tpu.compile.pipeline import build_production_step
+    from bellpepper_tpu.backend.matvec import build_templated_check
+    from bellpepper_tpu.compile.pipeline import (
+        build_packed_chunked_witness,
+        build_packed_production_step,
+    )
     from bellpepper_tpu.compile.witness_program import WitnessProgram
     from bellpepper_tpu.native import NativeBuilder
 
@@ -66,18 +69,19 @@ def main():
     t_synth = t_native + t_wprog
     assert prog.is_pure_bits
 
-    # One production step = 2 chunks x 512 instances (27M constraints),
-    # all inside a single jitted lax.scan. With the small-row int32 check
-    # the step is witness-generation-bound, and fewer/bigger chunks cut
-    # the per-op launch count (128x8 = 623M c/s, 512x2 = 1251M measured).
-    B = 512
+    # One production step = 2 chunks x 32768 instances (1.73G
+    # constraints), all inside a single jitted program: bit-sliced
+    # packed witness generation + the packed check's reduced verdict.
+    B = 32768
+    Bw = B // 32
     n_chunks = 2
     total_constraints = n_chunks * B * template.num_constraints
     free = jnp.asarray(
-        rng.integers(0, 2, size=(n_chunks, B, 512)).astype(np.uint32)
+        rng.integers(0, 1 << 32, size=(n_chunks, Bw, 512), dtype=np.uint64)
+        .astype(np.uint32)
     )
 
-    step = build_production_step(prog, template, B)
+    step = build_packed_production_step(prog, template, B)
     total, _first = step(free)  # compile + first run
     ok_first = int(total) == 0
     total, _first = step(free)  # second warm run (post-compile settling)
@@ -99,14 +103,9 @@ def main():
     any_bad = sum(int(t) for t in totals) != 0
     throughput = total_constraints / t_step
 
-    # --- witness generation rate (device, all chunks in ONE dispatch —
-    # per-call dispatch would be dominated by the ~32 ms tunnel sync) ---
-    from bellpepper_tpu.compile.pipeline import build_chunked_witness
+    # --- packed witness generation rate (all chunks in ONE dispatch) ---
+    gen = build_packed_chunked_witness(prog)
 
-    gen = build_chunked_witness(prog)
-
-    # Reduce on device: returning the [n_chunks, B, S] buffer itself would
-    # measure the ~120 MB output fetch over the tunnel, not generation.
     @jax.jit
     def gen_probe(f):
         return jnp.sum(gen(f), dtype=jnp.uint32)
@@ -118,17 +117,19 @@ def main():
     accs = [gen_probe(free) for _i in range(wreps)]
     _ = int(accs[-1])
     t_wit = (time.time() - t0) / wreps
-    z4 = gen(free)
     witness_elems_per_s = (n_chunks * B * prog.num_slots) / t_wit
     b_2e20 = max(1, (1 << 20) // template.num_constraints)
     t_wit_2e20 = t_wit / (n_chunks * B) * b_2e20
-    v0 = z4[0]
 
     # --- corruption probe: flip one witness bit → must detect ---
-    sat = TemplatedSatisfier(template, B, witness_form="bits")
-    v_bad = v0.at[B // 2, 600].set(v0[B // 2, 600] ^ 1)
-    detected = not sat.is_satisfied(v_bad)
-    check_ok = sat.is_satisfied(v0)
+    vp = gen(free)[0]  # [Bw, S] packed witness of chunk 0
+    viol = build_templated_check(template, B, True, "bits_packed")
+    verdict = jax.jit(viol.verdict)
+    nb0, _f0 = verdict(vp)
+    check_ok = int(nb0) == 0
+    vbad = vp.at[Bw // 2, 600].set(vp[Bw // 2, 600] ^ jnp.uint32(1 << 7))
+    nbb, _fb = verdict(vbad)
+    detected = int(nbb) > 0
 
     result = {
         "metric": "sha256 witness+check constraint-evaluations/s/chip",
@@ -140,6 +141,7 @@ def main():
             "constraints_per_step": total_constraints,
             "chunks": n_chunks,
             "chunk_batch": B,
+            "witness_layout": "bit-sliced packed (32 instances/u32 word)",
             "template_constraints": template.num_constraints,
             "satisfied": ok_first and not any_bad and check_ok,
             "corruption_detected": bool(detected),
