@@ -27,7 +27,14 @@ RUNS = [
 
 # Transient axon-tunnel failures (worker crash/restart) warrant one fresh
 # retry per harness; deterministic failures must surface, not loop.
-_TRANSIENT = ("UNAVAILABLE", "crashed", "restarted", "socket")
+_TRANSIENT = (
+    "UNAVAILABLE",
+    "crashed",
+    "restarted",
+    "socket",
+    "response body closed",  # axon tunnel HTTP stream dropped mid-compile
+    "read body",
+)
 
 
 def _run(argv, timeout=900):

@@ -28,7 +28,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bellpepper_tpu.backend.matvec import TemplatedSatisfier
     from bellpepper_tpu.compile.witness_program import WitnessProgram
     from bellpepper_tpu.native import NativeBuilder
 
@@ -46,12 +45,17 @@ def main():
     assert n_blocks % chunk == 0
     n_chunks = n_blocks // chunk
 
-    from bellpepper_tpu.compile.pipeline import build_production_step
+    from bellpepper_tpu.compile.pipeline import build_packed_production_step
 
+    # Bit-sliced packed step: all n_blocks instances in one chunk,
+    # 32 instances per uint32 word.
+    assert n_blocks % 512 == 0 and prog.is_packable
     free = jnp.asarray(
-        rng.integers(0, 2, size=(n_chunks, chunk, 512)).astype(np.uint32)
+        rng.integers(
+            0, 1 << 32, size=(1, n_blocks // 32, 512), dtype=np.uint64
+        ).astype(np.uint32)
     )
-    step = build_production_step(prog, template, chunk)
+    step = build_packed_production_step(prog, template, n_blocks)
     total, _f = step(free)  # compile + first
     ok_first = int(total) == 0
     total, _f = step(free)  # second warm run (post-compile settling)
@@ -69,18 +73,25 @@ def main():
     t_step = (time.time() - t0) / reps
     any_bad = sum(int(t) for t in totals) != 0
 
-    # witness-generation-only rate (one chunk)
-    v0, _fw = prog.run(free[0])
+    # witness-generation-only rate (one chunk, packed)
+    from bellpepper_tpu.backend.matvec import build_templated_check
+    from bellpepper_tpu.compile.pipeline import build_packed_chunked_witness
+
+    gen = build_packed_chunked_witness(prog)
+    v0 = gen(free)[0]  # [n_blocks/32, S] packed
     _ = int(jnp.sum(v0[0, :4]))
     t0 = time.time()
-    v0, _fw = prog.run(free[0])
+    v0 = gen(free)[0]
     _ = int(jnp.sum(v0[0, :4]))
     t_wit = time.time() - t0
 
-    # corruption probe
-    sat = TemplatedSatisfier(template, chunk, witness_form="bits")
-    v_bad = v0.at[3, 777].set(v0[3, 777] ^ 1)
-    detected = not sat.is_satisfied(v_bad)
+    # corruption probe (packed verdict)
+    viol = build_templated_check(template, n_blocks, True, "bits_packed")
+    verdict = jax.jit(viol.verdict)
+    nb0, _f0 = verdict(v0)
+    v_bad = v0.at[3, 777].set(v0[3, 777] ^ jnp.uint32(1 << 11))
+    nbb, _fb = verdict(v_bad)
+    detected = int(nb0) == 0 and int(nbb) > 0
 
     # --- true hash CHAIN: digest of block t is the IV of block t+1 ---
     # (device-side state threading via build_chained_production_step; the
@@ -154,11 +165,12 @@ def main():
                     "device": str(jax.devices()[0]),
                     "blocks": n_blocks,
                     "constraints": total_constraints,
-                    "chunk": chunk,
+                    "chunk": n_blocks,
+                    "witness_layout": "bit-sliced packed (32 instances/u32 word)",
                     "satisfied": ok_first and not any_bad,
                     "corruption_detected": detected,
                     "witness_elements_per_s": round(
-                        chunk * prog.num_slots / t_wit, 1
+                        n_blocks * prog.num_slots / t_wit, 1
                     ),
                     "step_s": round(t_step, 4),
                     "host_synthesis_s": round(t_synth, 2),

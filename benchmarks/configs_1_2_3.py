@@ -107,7 +107,13 @@ def config1():
 
     # Deep sequential field chains are latency-bound on the per-stage scan
     # steps: fewer/bigger chunks amortize them (58M vs 34M c/s at 2048×8).
-    B, n_chunks = 8192, 2
+    import os
+
+    # 8192x4 measured best on v5e (133.5M c/s vs 117-126M at 8192x2:
+    # the 54 ms step rides above tunnel jitter; 16384-inst chunks are
+    # slower despite better witness rates — check-side temps grow).
+    B = int(os.environ.get("BP_CFG1_B", "8192"))
+    n_chunks = int(os.environ.get("BP_CFG1_CHUNKS", "4"))
     step = build_production_step(prog, template, B)
     free = jnp.asarray(
         np.random.default_rng(5)
@@ -140,7 +146,7 @@ def config1():
 def config2():
     import jax.numpy as jnp
 
-    from bellpepper_tpu.compile.pipeline import build_production_step
+    from bellpepper_tpu.compile.pipeline import build_packed_production_step
     from bellpepper_tpu.compile.tape import TapeCS
     from bellpepper_tpu.compile.witness_program import WitnessProgram
     from bellpepper_tpu.gadgets.multieq import MultiEq
@@ -163,19 +169,24 @@ def config2():
     circuit(tape)
     prog = WitnessProgram(tape)
     t_synth = time.time() - t0
-    assert prog.is_pure_bits
+    assert prog.is_packable
 
-    B, n_chunks = 2048, 8
-    step = build_production_step(prog, template, B)
+    # Bit-sliced packed production step: 32 instances per uint32 word.
+    B, n_chunks = 32768, 4
+    step = build_packed_production_step(prog, template, B)
     free = jnp.asarray(
         np.random.default_rng(6)
-        .integers(0, 2, size=(n_chunks, B, len(prog.free_slots)))
+        .integers(
+            0, 1 << 32, size=(n_chunks, B // 32, len(prog.free_slots)),
+            dtype=np.uint64,
+        )
         .astype(np.uint32)
     )
     dt, ok = _measure_step(step, free)
     _emit(
         "config2 UInt32 bitwise constraint-evals/s",
         template, B, n_chunks, dt, ok, t_synth,
+        {"witness_layout": "bit-sliced packed (32 instances/u32 word)"},
     )
 
 
@@ -226,6 +237,12 @@ def config3():
 
 
 if __name__ == "__main__":
-    config1()
-    config2()
-    config3()
+    import sys
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "123"
+    if "1" in which:
+        config1()
+    if "2" in which:
+        config2()
+    if "3" in which:
+        config3()
