@@ -17,6 +17,7 @@ row (MultiEq packs at most CAPACITY bits ≈ a few hundred terms)."""
 
 from __future__ import annotations
 
+from collections import defaultdict
 from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
@@ -1360,6 +1361,347 @@ def _build_trivial_limbs_check(
 _PACKED_BLK_W = 16  # unpack/compute block: 16 words = 512 instances
 
 
+def _classify_bit_row_families(template: R1CS, small_idx: np.ndarray):
+    """Match small rows against the reference gadget row shapes so the
+    packed check can evaluate them with 2-6 full-word boolean ops
+    instead of the generic unpack + int sums (~100 ops/row-word):
+
+      booleanity  (1-x)·x = 0            boolean.rs:90-96   → statically
+                                            satisfied by the bit-sliced
+                                            representation (words ARE bits)
+      condalloc   (1-m-x)·x = 0          boolean.rs:48-63   → bad = X∧M
+      xor         (2x)·y = x+y-z         boolean.rs:143-150 → bad = (X⊕Y)⊕Z
+      and         x·y = z                boolean.rs:184-191 → bad = (X∧Y)⊕Z
+      and_not     x·(1-y) = z            boolean.rs:224-231 → bad = (X∧¬Y)⊕Z
+      nor         (1-x)·(1-y) = z        boolean.rs:264-271 → bad = (¬X∧¬Y)⊕Z
+      ch          (b-c)·a = ch-c         boolean.rs:627-639 → bad = ((A∧B)∨(¬A∧C))⊕CH
+      maj (row 2) (2bc-b-c)·a = bc-maj   boolean.rs:741-751 → for bits the
+          field equation reduces to: a ? (maj == b|c) : (maj == bc), so
+          bad = (A∧(MAJ⊕(B∨C))) ∨ (¬A∧(MAJ⊕BC))
+          (maj row 1, b·c = bc, matches the `and` family)
+
+    Every match is verified against the ACTUAL R1CS coefficients — the
+    families are sound rewrites of the row equation for bit-valued
+    witnesses, which the packed representation guarantees. Returns
+    (families, leftover_pos): families = {kind: int32[n_kind, n_operands]
+    column array + rows_orig}, leftover_pos = positions (into small_idx
+    order) of rows no family matched (checked generically)."""
+    p_ = template.field.p
+    R = template.num_constraints
+    M1 = p_ - 1
+    tb = [int(c) % p_ for c in template.coeff_table]
+    small_set = set(int(r) for r in small_idx)
+    terms = {}
+    for name in ("a", "b", "c"):
+        m = getattr(template, name)
+        rows = np.asarray(m.rows)
+        cols = np.asarray(m.cols)
+        cids = np.asarray(m.coeff_ids)
+        lst = {int(r): {} for r in small_idx}
+        for e in range(len(rows)):
+            r = int(rows[e])
+            if r not in lst:
+                continue
+            d = lst[r]
+            col = int(cols[e])
+            d[col] = (d.get(col, 0) + tb[cids[e]]) % p_
+        terms[name] = {
+            r: {c: v for c, v in d.items() if v != 0} for r, d in lst.items()
+        }
+
+    def match(r):
+        A, B, C = terms["a"][r], terms["b"][r], terms["c"][r]
+        if C == {} and len(B) == 1 and list(B.values())[0] == 1:
+            x = next(iter(B))
+            if A == {0: 1, x: M1}:
+                return ("bool",)
+            if len(A) == 3 and A.get(0) == 1 and A.get(x) == M1:
+                others = [c for c in A if c not in (0, x)]
+                if len(others) == 1 and A[others[0]] == M1:
+                    return ("condalloc", x, others[0])
+        if (
+            len(A) == 1
+            and list(A.values())[0] == 2
+            and len(B) == 1
+            and list(B.values())[0] == 1
+            and len(C) == 3
+        ):
+            x = next(iter(A))
+            y = next(iter(B))
+            if C.get(x) == 1 and C.get(y) == 1:
+                z = [c for c in C if c not in (x, y)]
+                if len(z) == 1 and C[z[0]] == M1:
+                    return ("xor", x, y, z[0])
+        if (
+            len(A) == 1
+            and list(A.values())[0] == 1
+            and len(B) == 1
+            and list(B.values())[0] == 1
+            and len(C) == 1
+            and list(C.values())[0] == 1
+        ):
+            return ("and", next(iter(A)), next(iter(B)), next(iter(C)))
+        if (
+            len(A) == 1
+            and list(A.values())[0] == 1
+            and len(B) == 2
+            and B.get(0) == 1
+            and len(C) == 1
+            and list(C.values())[0] == 1
+        ):
+            ys = [c for c in B if c != 0]
+            if len(ys) == 1 and B[ys[0]] == M1:
+                return ("and_not", next(iter(A)), ys[0], next(iter(C)))
+        if (
+            len(A) == 2
+            and A.get(0) == 1
+            and len(B) == 2
+            and B.get(0) == 1
+            and len(C) == 1
+            and list(C.values())[0] == 1
+        ):
+            xs = [c for c in A if c != 0]
+            ys = [c for c in B if c != 0]
+            if (
+                len(xs) == 1
+                and A[xs[0]] == M1
+                and len(ys) == 1
+                and B[ys[0]] == M1
+            ):
+                return ("nor", xs[0], ys[0], next(iter(C)))
+        if (
+            len(B) == 1
+            and list(B.values())[0] == 1
+            and len(A) == 2
+            and len(C) == 2
+        ):
+            a_ = next(iter(B))
+            shared = [x for x in A if A[x] == M1 and C.get(x) == M1]
+            if len(shared) == 1:
+                c_ = shared[0]
+                bs = [x for x in A if x != c_]
+                chs = [x for x in C if x != c_]
+                if (
+                    len(bs) == 1
+                    and A[bs[0]] == 1
+                    and len(chs) == 1
+                    and C[chs[0]] == 1
+                ):
+                    return ("ch", a_, bs[0], c_, chs[0])
+        if (
+            len(A) == 3
+            and len(B) == 1
+            and list(B.values())[0] == 1
+            and len(C) == 2
+        ):
+            bcs = [x for x in A if A[x] == 2]
+            if len(bcs) == 1 and C.get(bcs[0]) == 1:
+                bc = bcs[0]
+                rest = [x for x in A if x != bc]
+                if len(rest) == 2 and all(A[x] == M1 for x in rest):
+                    majs = [x for x in C if x != bc]
+                    if len(majs) == 1 and C[majs[0]] == M1:
+                        b_, c_ = rest
+                        return ("maj2", next(iter(B)), b_, c_, bc, majs[0])
+        return None
+
+    fams: Dict[str, list] = {}
+    fam_rows: Dict[str, list] = {}
+    leftover_pos = []
+    for pos, r in enumerate(small_idx):
+        m = match(int(r))
+        if m is None:
+            leftover_pos.append(pos)
+            continue
+        kind = m[0]
+        fams.setdefault(kind, []).append(m[1:])
+        fam_rows.setdefault(kind, []).append(int(r))
+    families = {
+        kind: (
+            np.asarray(ops, np.int32).reshape(len(ops), -1),
+            np.asarray(fam_rows[kind], np.int64),
+        )
+        for kind, ops in fams.items()
+    }
+    return families, np.asarray(leftover_pos, np.int64)
+
+
+def _classify_pow2_eq_rows(template: R1CS, big_idx: np.ndarray):
+    """Match big rows of the MultiEq shape (multieq.rs:25-58): B = ONE
+    and both A and C are sums of power-of-two-scaled bit variables with
+    each side's coefficient total < p (the capacity-packing invariant).
+    For bit-valued witnesses such a row holds iff the two sides are
+    equal as INTEGERS — checkable bit-sliced: per side, a carry-save
+    reduction over same-exponent planes + one Kogge-Stone prefix add
+    yields the side's binary representation; equality is a word compare.
+    No field arithmetic, no unpacking.
+
+    Returns (spec, rest_pos): spec = per-side ELL arrays
+    {cols uint32[n, n_pos, M], mask uint32[n, n_pos, M]} + rows_orig,
+    or None if no row qualifies; rest_pos = positions (into big_idx
+    order) of non-matching rows (checked by the fused-kernel path)."""
+    p_ = template.field.p
+    R = template.num_constraints
+    tb = [int(c) % p_ for c in template.coeff_table]
+    big_set = {int(r) for r in big_idx}
+    terms = {}
+    for name in ("a", "b", "c"):
+        m = getattr(template, name)
+        rows = np.asarray(m.rows)
+        cols = np.asarray(m.cols)
+        cids = np.asarray(m.coeff_ids)
+        lst = {r: [] for r in big_set}
+        for e in range(len(rows)):
+            r = int(rows[e])
+            if r in lst:
+                lst[r].append((tb[cids[e]], int(cols[e])))
+        terms[name] = lst
+
+    def side(ts):
+        """[(exponent, col)] with every coefficient DECOMPOSED into its
+        set bits (a shared operand bit appearing in two packed
+        equalities gets coeff 2^a + 2^b → two entries; a folded
+        constant rides col 0, whose packed word is all-ones), or None
+        when the coefficient total reaches p — the sum could then wrap
+        mod p and integer equality would be unsound."""
+        out = []
+        total = 0
+        for cf, col in ts:
+            total += cf
+            e = 0
+            while cf:
+                if cf & 1:
+                    out.append((e, col))
+                cf >>= 1
+                e += 1
+        if total >= p_:
+            return None
+        return out
+
+    matched = []
+    rest_pos = []
+    for pos, r in enumerate(big_idx):
+        r = int(r)
+        B_ = [(cf, col) for cf, col in terms["b"][r] if cf != 0]
+        if B_ != [(1, 0)]:
+            rest_pos.append(pos)
+            continue
+        sa = side(terms["a"][r])
+        sc = side(terms["c"][r])
+        if sa is None or sc is None:
+            rest_pos.append(pos)
+            continue
+        matched.append((r, sa, sc))
+    if not matched:
+        return None, np.asarray(rest_pos, np.int64)
+
+    n = len(matched)
+    e_max = max(
+        (e for _r, sa, sc in matched for e, _c in sa + sc), default=0
+    )
+    m_max = 1
+    for _r, sa, sc in matched:
+        for s in (sa, sc):
+            cnt = defaultdict(int)
+            for e, _c in s:
+                cnt[e] += 1
+            m_max = max(m_max, max(cnt.values(), default=1))
+    # Positions padded so the final carry cannot overflow: each side's
+    # value < p < 2^255, so 256 positions always suffice; smaller
+    # templates use e_max + headroom.
+    n_pos = min(256, e_max + 1 + (m_max + 1).bit_length() + 1)
+    spec = {"rows_orig": np.asarray([r for r, _a, _c in matched], np.int64),
+            "n_pos": n_pos, "m": m_max}
+    for key, idx in (("a", 1), ("c", 2)):
+        cols = np.zeros((n, n_pos, m_max), np.int32)
+        mask = np.zeros((n, n_pos, m_max), np.uint32)
+        for i, row in enumerate(matched):
+            cnt = defaultdict(int)
+            for e, col in row[idx]:
+                k = cnt[e]
+                cnt[e] += 1
+                cols[i, e, k] = col
+                mask[i, e, k] = 0xFFFFFFFF
+        spec[key + "_cols"] = cols
+        spec[key + "_mask"] = mask
+    return spec, np.asarray(rest_pos, np.int64)
+
+
+def _pow2_eq_bad_words(vals_p, spec):
+    """Packed bad words [n, Bw] for the pow2-equality rows: bit-sliced
+    integer evaluation of both sides, then a word compare. The position
+    axis is kept MAJOR so the carry shifts are cheap major-axis pads,
+    not second-minor relayouts."""
+    n_pos = spec["n_pos"]
+    m = spec["m"]
+
+    def sh(x, d=1):  # shift toward MSB along the (major) position axis
+        return jnp.pad(x, ((d, 0), (0, 0), (0, 0)))[:n_pos]
+
+    def side(cols, mask):
+        g = vals_p[cols.reshape(-1)].reshape(cols.shape + (-1,))
+        g = g & mask[..., None]  # [n, n_pos, M, Bw]
+        g = jnp.transpose(g, (1, 0, 2, 3))  # [n_pos, n, M, Bw]
+        addends = [g[:, :, k] for k in range(m)]
+        while len(addends) > 2:
+            nxt = []
+            for i in range(0, len(addends) - 2, 3):
+                a1, b1, c1 = addends[i : i + 3]
+                nxt.append(a1 ^ b1 ^ c1)
+                nxt.append(sh((a1 & b1) | (c1 & (a1 ^ b1))))
+            rem = len(addends) % 3
+            if rem:
+                nxt.extend(addends[-rem:])
+            addends = nxt
+        if len(addends) == 1:
+            return addends[0]
+        a1, b1 = addends
+        g_ = a1 & b1
+        p_ = a1 ^ b1
+        gk, pk, d = g_, p_, 1
+        while d < n_pos:
+            gk = gk | (pk & sh(gk, d))
+            pk = pk & sh(pk, d)
+            d *= 2
+        return p_ ^ sh(gk)
+
+    lhs = side(spec["a_cols"], spec["a_mask"])
+    rhs = side(spec["c_cols"], spec["c_mask"])
+    diff = lhs ^ rhs  # [n_pos, n, Bw]
+    return jax.lax.reduce(diff, np.uint32(0), jax.lax.bitwise_or, (0,))
+
+
+# bad-word formulas per family kind: X = packed word columns in the
+# order stored by _classify_bit_row_families. A nonzero bit = violation.
+def _family_bad(kind, X):
+    if kind == "condalloc":
+        return X[0] & X[1]
+    if kind == "xor":
+        return (X[0] ^ X[1]) ^ X[2]
+    if kind == "and":
+        return (X[0] & X[1]) ^ X[2]
+    if kind == "and_not":
+        return (X[0] & ~X[1]) ^ X[2]
+    if kind == "nor":
+        return (~X[0] & ~X[1]) ^ X[2]
+    if kind == "ch":
+        a, b, c, ch = X
+        return ((a & b) | (~a & c)) ^ ch
+    if kind == "maj2":
+        # Exact for ALL bit assignments including inconsistent bc (the
+        # product slot may be corrupted): with a=1 the field equation
+        # reads maj == b + c - bc over ℤ, where b + c - bc can be -1
+        # (bc=1, b=c=0) or 2 (b=c=1, bc=0) — never equal to a bit — and
+        # otherwise equals (b∧c∧bc) ∨ ((b⊕c)∧¬bc).
+        a, b, c, bc, maj = X
+        over = b & c & ~bc
+        under = ~b & ~c & bc
+        s = (b & c & bc) | ((b ^ c) & ~bc)
+        bad_a1 = over | under | (maj ^ s)
+        return (a & bad_a1) | (~a & (maj ^ bc))
+    raise AssertionError(kind)
+
+
 def _build_packed_bits_check(template: R1CS, batch: int, use_pallas: bool,
                              _partition: bool):
     """bits_packed templated check: z as uint32[batch/32, S_t] bit-sliced
@@ -1422,15 +1764,95 @@ def _build_packed_bits_check(template: R1CS, batch: int, use_pallas: bool,
         name: (np.asarray(colp), np.asarray(scop, np.int32))
         for name, (colp, scop) in layouts.items()
     }
+
+    # Structured gadget rows evaluate as 2-6 full-word boolean ops per
+    # 32 instances; booleanity rows are statically satisfied by the
+    # bit-sliced representation. Only the (usually tiny) leftover runs
+    # the generic unpack + int-sum path.
+    families, leftover_pos = _classify_bit_row_families(template, small_idx)
+    bool_rows = families.pop("bool", (None, np.zeros(0, np.int64)))[1]
+    n_bool = len(bool_rows)
+    fam_order = sorted(families)
+    n_left = len(leftover_pos)
+    left_np = {
+        name: (colp[leftover_pos], scop[leftover_pos].astype(np.int32))
+        for name, (colp, scop) in small_np.items()
+    }
+    rows_left = small_idx[leftover_pos].astype(np.uint32)
+
+    # Big rows of the MultiEq power-of-two-equality shape evaluate as
+    # bit-sliced integer comparisons on packed words (no unpacking, no
+    # field arithmetic); only the rest ride the fused-kernel blocks.
+    pow2_spec, rest_big_pos = (
+        _classify_pow2_eq_rows(template, big_idx)
+        if n_big
+        else (None, np.zeros(0, np.int64))
+    )
+    pow2_rows = (
+        pow2_spec["rows_orig"] if pow2_spec is not None
+        else np.zeros(0, np.int64)
+    )
+    rest_big_idx = big_idx[rest_big_pos].astype(np.int64)
+    n_rest_big = len(rest_big_idx)
+
+    # Row order of the assembled mask parts (before the inverse map).
+    order_rows = np.concatenate(
+        [bool_rows.astype(np.int64)]
+        + [families[k][1] for k in fam_order]
+        + [
+            small_idx[leftover_pos].astype(np.int64),
+            pow2_rows.astype(np.int64),
+            rest_big_idx,
+        ]
+    )
     inv = np.empty(Rt0, np.int32)
-    inv[np.concatenate([small_idx, big_idx])] = np.arange(Rt0, dtype=np.int32)
+    inv[order_rows] = np.arange(Rt0, dtype=np.int32)
+
+    # The materialized ev buffers of the generic path are its dominant
+    # HBM traffic; accumulate in int16 when every row's |coefficient|
+    # sum fits (products still compare in int32).
+    _ev16 = all(
+        int(np.abs(scop.astype(np.int64)).sum(axis=1).max(initial=0))
+        < (1 << 15)
+        for _c, scop in left_np.values()
+    )
+    _acc_dt = jnp.int16 if _ev16 else jnp.int32
+
+    def _left_evs(vals_p):
+        """Generic leftover rows: bool[n_left, Bw, 32] violation mask."""
+        evs = []
+        for name in ("a", "b", "c"):
+            colp, scop = left_np[name]
+            sc = scop.astype(np.int16) if _ev16 else scop
+            ev = None
+            for k in range(colp.shape[1]):
+                vk = vals_p[colp[:, k]]  # [n_left, Bw] packed words
+                b32 = ((vk[:, :, None] >> sh32) & np.uint32(1)).astype(
+                    _acc_dt
+                )
+                term = b32 * sc[:, k][:, None, None]
+                ev = term if ev is None else ev + term
+            evs.append(ev)
+        a32 = evs[0].astype(jnp.int32)
+        b32_ = evs[1].astype(jnp.int32)
+        c32 = evs[2].astype(jnp.int32)
+        return (a32 * b32_) != c32  # [n_left, Bw, 32]
+
+    def _fam_bad_words(vals_p):
+        """[(kind, bad_words[n_f, Bw], rows_orig)] for runtime families."""
+        out = []
+        for kind in fam_order:
+            opcols, rows_orig = families[kind]
+            X = [vals_p[opcols[:, i]] for i in range(opcols.shape[1])]
+            out.append((kind, _family_bad(kind, X), rows_orig))
+        return out
 
     big_viol = None
-    if n_big:
-        # Remap the big-row subsystem to its used slots only, so the
-        # per-block unpack materializes [n_used, blk_B], not the full
-        # slot space. ONE (slot 0) stays slot 0.
-        sub = _sub_rows_r1cs(template, big_idx)
+    if n_rest_big:
+        # Remap the remaining big-row subsystem to its used slots only,
+        # so the per-block unpack materializes [n_used, blk_B], not the
+        # full slot space. ONE (slot 0) stays slot 0.
+        sub = _sub_rows_r1cs(template, rest_big_idx)
         used = np.unique(
             np.concatenate(
                 [np.asarray(getattr(sub, n).cols) for n in ("a", "b", "c")]
@@ -1465,107 +1887,114 @@ def _build_packed_bits_check(template: R1CS, batch: int, use_pallas: bool,
             _partition=False, _slot_major=True,
         )
 
+    def _big_bad(vals_p):
+        gb = jax.lax.optimization_barrier(vals_p[used_np])  # [n_used, Bw]
+
+        def blk(w):
+            seg = jax.lax.dynamic_slice(
+                gb, (0, w * _PACKED_BLK_W), (gb.shape[0], _PACKED_BLK_W)
+            )
+            return big_viol(_unpack_block(seg))  # [blk_B · n_big]
+
+        if n_blocks == 1:
+            bad_big = blk(jnp.int32(0))
+        else:
+            bad_big = jax.lax.map(blk, jnp.arange(n_blocks))
+        return bad_big.reshape(batch, n_rest_big)
+
     def violations_packed(vals_bm):
         assert vals_bm.shape == (Bw, S_t), (
             f"bits_packed z must be [batch/32={Bw}, S_t={S_t}], got "
             f"{vals_bm.shape}"
         )
         vals_p = vals_bm.T  # [S_t, Bw] slot-major for the row gathers
-
-        # Small rows: whole chunk at once — per-slot-k packed gather
-        # [ns, Bw], unpack fused into the int32 sum. The per-index
-        # descriptor cost is paid once per 32 instances; the old
-        # per-block variant (minor-axis dynamic slices + lax.map) ran
-        # 5x slower than this.
-        evs = []
-        for name in ("a", "b", "c"):
-            colp, scop = small_np[name]
-            ns, K = colp.shape
-            ev = None
-            for k in range(K):
-                vk = vals_p[colp[:, k]]  # [ns, Bw] packed words
-                b32 = ((vk[:, :, None] >> sh32) & np.uint32(1)).astype(
-                    jnp.int32
-                )  # [ns, Bw, 32]
-                term = b32 * scop[:, k][:, None, None]
-                ev = term if ev is None else ev + term
-            evs.append(ev)
-        bad_small = ((evs[0] * evs[1]) != evs[2]).reshape(n_small, batch)
-        parts = [bad_small.T]  # [batch, n_small] instance-major
-
+        parts = []
+        if n_bool:
+            parts.append(jnp.zeros((batch, n_bool), bool))
+        for _kind, words, _rows in _fam_bad_words(vals_p):
+            bits = ((words[:, :, None] >> sh32) & np.uint32(1)).reshape(
+                words.shape[0], batch
+            )
+            parts.append((bits != 0).T)  # [batch, n_f]
+        if n_left:
+            parts.append(_left_evs(vals_p).reshape(n_left, batch).T)
+        if pow2_spec is not None:
+            words = _pow2_eq_bad_words(vals_p, pow2_spec)  # [n_p2, Bw]
+            bits = ((words[:, :, None] >> sh32) & np.uint32(1)).reshape(
+                words.shape[0], batch
+            )
+            parts.append((bits != 0).T)
         if big_viol is not None:
-            gb = jax.lax.optimization_barrier(vals_p[used_np])  # [n_used, Bw]
-
-            def blk(w):
-                seg = jax.lax.dynamic_slice(
-                    gb, (0, w * _PACKED_BLK_W), (gb.shape[0], _PACKED_BLK_W)
-                )
-                return big_viol(_unpack_block(seg))  # [blk_B · n_big]
-
-            if n_blocks == 1:
-                bad_big = blk(jnp.int32(0))
-            else:
-                bad_big = jax.lax.map(blk, jnp.arange(n_blocks))
-            parts.append(bad_big.reshape(batch, n_big))
-
+            parts.append(_big_bad(vals_p))
         comb = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
         return jnp.take(comb, inv, axis=1).reshape(batch * Rt0)
 
     # Reduced verdict: (n_bad, first_flat) without materializing the
-    # instance-major mask — the [ns, batch] bool transpose + the
-    # minor-axis take cost ~20 ms per 4096 instances, 2x the whole
-    # compare. first_flat is min over instance-major flat indices
-    # (b·Rt0 + original_row), computed in the native [ns, batch] order.
+    # instance-major mask. n_bad sums popcounts of the family bad words
+    # directly; first_flat = min over instance-major flat indices
+    # (b·Rt0 + original_row), with each word contributing its lowest
+    # set bit via count-trailing-zeros.
     assert batch * Rt0 < (1 << 32), "flat index must fit uint32"
     _SENT = np.uint32(0xFFFFFFFF)
-    rows_small = small_idx.astype(np.uint32)  # original row ids
-    rows_big = big_idx.astype(np.uint32) if n_big else None
+
+    def _ctz32(w):
+        neg = jnp.uint32(0) - w
+        return jax.lax.population_count((w & neg) - jnp.uint32(1))
 
     def verdict_packed(vals_bm):
         vals_p = vals_bm.T
-        evs = []
-        for name in ("a", "b", "c"):
-            colp, scop = small_np[name]
-            ev = None
-            for k in range(colp.shape[1]):
-                vk = vals_p[colp[:, k]]
-                b32 = ((vk[:, :, None] >> sh32) & np.uint32(1)).astype(
-                    jnp.int32
-                )
-                term = b32 * scop[:, k][:, None, None]
-                ev = term if ev is None else ev + term
-            evs.append(ev)
-        bad_small = ((evs[0] * evs[1]) != evs[2]).reshape(n_small, batch)
-        nb = jnp.sum(bad_small.astype(jnp.uint32))
-        binst = jnp.arange(batch, dtype=jnp.uint32)
-        first = jnp.min(
-            jnp.where(
-                bad_small,
-                binst[None, :] * np.uint32(Rt0) + rows_small[:, None],
+        nb = jnp.uint32(0)
+        first = jnp.uint32(_SENT)
+        winst = jnp.arange(Bw, dtype=jnp.uint32)[None, :] * jnp.uint32(32)
+        for _kind, words, rows_orig in _fam_bad_words(vals_p):
+            nb = nb + jnp.sum(
+                jax.lax.population_count(words), dtype=jnp.uint32
+            )
+            cand = jnp.where(
+                words != 0,
+                (winst + _ctz32(words)) * np.uint32(Rt0)
+                + rows_orig.astype(np.uint32)[:, None],
                 _SENT,
             )
-        )
+            first = jnp.minimum(first, jnp.min(cand))
+        if n_left:
+            bad_left = _left_evs(vals_p).reshape(n_left, batch)
+            nb = nb + jnp.sum(bad_left.astype(jnp.uint32))
+            binst = jnp.arange(batch, dtype=jnp.uint32)
+            first = jnp.minimum(
+                first,
+                jnp.min(
+                    jnp.where(
+                        bad_left,
+                        binst[None, :] * np.uint32(Rt0)
+                        + rows_left[:, None],
+                        _SENT,
+                    )
+                ),
+            )
+        if pow2_spec is not None:
+            words = _pow2_eq_bad_words(vals_p, pow2_spec)  # [n_p2, Bw]
+            nb = nb + jnp.sum(
+                jax.lax.population_count(words), dtype=jnp.uint32
+            )
+            cand = jnp.where(
+                words != 0,
+                (winst + _ctz32(words)) * np.uint32(Rt0)
+                + pow2_rows.astype(np.uint32)[:, None],
+                _SENT,
+            )
+            first = jnp.minimum(first, jnp.min(cand))
         if big_viol is not None:
-            gb = jax.lax.optimization_barrier(vals_p[used_np])
-
-            def blk(w):
-                seg = jax.lax.dynamic_slice(
-                    gb, (0, w * _PACKED_BLK_W), (gb.shape[0], _PACKED_BLK_W)
-                )
-                return big_viol(_unpack_block(seg))
-
-            if n_blocks == 1:
-                bad_big = blk(jnp.int32(0))
-            else:
-                bad_big = jax.lax.map(blk, jnp.arange(n_blocks))
-            bad_big = bad_big.reshape(batch, n_big)
+            bad_big = _big_bad(vals_p)
             nb = nb + jnp.sum(bad_big.astype(jnp.uint32))
+            binst = jnp.arange(batch, dtype=jnp.uint32)
             first = jnp.minimum(
                 first,
                 jnp.min(
                     jnp.where(
                         bad_big,
-                        binst[:, None] * np.uint32(Rt0) + rows_big[None, :],
+                        binst[:, None] * np.uint32(Rt0)
+                        + rest_big_idx.astype(np.uint32)[None, :],
                         _SENT,
                     )
                 ),

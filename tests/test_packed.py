@@ -119,6 +119,68 @@ def test_bits_packed_mask_matches_bits():
             assert (m_u == m_p).all()
 
 
+def _families_setup():
+    """Circuit exercising every structured row family: booleanity, xor,
+    and, and_not, nor, ch, maj (rows 1+2), plus MultiEq big rows."""
+
+    def circuit(cs):
+        bits = [
+            Boolean.from_bit(AllocatedBit.alloc(cs.namespace(f"b{i}"), None))
+            for i in range(12)
+        ]
+        x = Boolean.xor(cs.namespace("x"), bits[0], bits[1])
+        y = Boolean.and_(cs.namespace("y"), x, bits[2].not_())  # and_not
+        z = Boolean.and_(cs.namespace("z"), bits[3].not_(), bits[4].not_())  # nor
+        w = Boolean.and_(cs.namespace("w"), bits[5], bits[6])  # and
+        ch = Boolean.sha256_ch(cs.namespace("ch"), y, z, bits[7])
+        mj = Boolean.sha256_maj(cs.namespace("maj"), ch, w, bits[8])
+        words = [UInt32.alloc(cs.namespace(f"u{i}"), None) for i in range(2)]
+        with MultiEq(cs) as mcs:
+            acc = UInt32.addmany(mcs.namespace("s"), words)
+            acc.xor(mcs.namespace("ux"), words[0].rotr(3))
+        Boolean.xor(cs.namespace("fin"), mj, bits[9])
+
+    shape = ShapeCS()
+    circuit(shape)
+    template = shape.finish()
+    tape = TapeCS()
+    circuit(tape)
+    return template, WitnessProgram(tape)
+
+
+def test_packed_families_cover_and_match():
+    """The family classifier must match ch/maj/nor/and_not rows of this
+    circuit, and the packed mask must stay bit-identical to the bits
+    form under corruption of EVERY witness slot (one at a time for a
+    fixed instance) — the strongest family-rewrite soundness check."""
+    from bellpepper_tpu.backend.matvec import (
+        _classify_bit_row_families,
+        _classify_small_rows,
+    )
+
+    template, prog = _families_setup()
+    small_idx, _big, _lay = _classify_small_rows(template)
+    fams, leftover = _classify_bit_row_families(template, small_idx)
+    for kind in ("bool", "xor", "and", "and_not", "nor", "ch", "maj2"):
+        assert kind in fams, f"family {kind} not matched"
+    # rows with folded negations (e.g. maj over a Not operand) fall to
+    # the generic path — this circuit has none, so coverage is total
+    assert len(leftover) == 0, "every small row should match a family"
+
+    B = 512
+    vp = _packed_z(prog, B)
+    viol_p = jax.jit(build_templated_check(template, B, False, "bits_packed"))
+    viol_u = jax.jit(build_templated_check(template, B, False, "bits"))
+    m_p0 = np.asarray(viol_p(vp))
+    m_u0 = np.asarray(viol_u(jnp.asarray(unpack_bits(vp))))
+    assert m_u0.sum() == 0 and (m_p0 == m_u0).all()
+    for slot in range(1, prog.num_slots):
+        vpb = vp.at[3, slot].set(vp[3, slot] ^ np.uint32(1 << 21))
+        m_p = np.asarray(viol_p(vpb))
+        m_u = np.asarray(viol_u(jnp.asarray(unpack_bits(vpb))))
+        assert (m_p == m_u).all(), f"mask mismatch corrupting slot {slot}"
+
+
 def test_packed_verdict_matches_mask():
     """The reduced (nb, first) verdict must agree with the full mask —
     including `first` as the min instance-major flat violation index —
@@ -149,3 +211,40 @@ def test_packed_production_step():
     step = build_packed_production_step(prog, template, B, use_pallas=False)
     total, _first = step(jnp.asarray(free))
     assert int(total) == 0
+
+
+def test_family_formulas_exhaustive_truth_tables():
+    """Brute-force every family's packed bad-word formula against the
+    actual field equation over ALL bit assignments — including
+    inconsistent intermediate product slots (e.g. maj's bc), which a
+    corrupted witness can produce."""
+    from bellpepper_tpu.backend.matvec import _family_bad
+
+    P = (1 << 255) - 19  # any odd prime >> operand bounds works here
+
+    def fe(x):
+        return x % P
+
+    cases = {
+        # kind: (n_vars, field_row_holds(vars))
+        "condalloc": (2, lambda x, m: fe((1 - m - x) * x) == 0),
+        "xor": (3, lambda x, y, z: fe(2 * x * y) == fe(x + y - z)),
+        "and": (3, lambda x, y, z: fe(x * y) == fe(z)),
+        "and_not": (3, lambda x, y, z: fe(x * (1 - y)) == fe(z)),
+        "nor": (3, lambda x, y, z: fe((1 - x) * (1 - y)) == fe(z)),
+        "ch": (4, lambda a, b, c, ch: fe((b - c) * a) == fe(ch - c)),
+        "maj2": (
+            5,
+            lambda a, b, c, bc, maj: fe((2 * bc - b - c) * a)
+            == fe(bc - maj),
+        ),
+    }
+    for kind, (n, holds) in cases.items():
+        for bits in range(1 << n):
+            vals = [(bits >> i) & 1 for i in range(n)]
+            X = [jnp.uint32(0xFFFFFFFF if v else 0) for v in vals]
+            bad = int(np.asarray(_family_bad(kind, X))) != 0
+            assert bad == (not holds(*vals)), (
+                f"{kind} formula wrong at {vals}: bad={bad}, "
+                f"equation holds={holds(*vals)}"
+            )
