@@ -347,6 +347,124 @@ def make_chain_kernel(
     return run
 
 
+_BITPLANE_CACHE: Dict[tuple, object] = {}
+
+
+def make_bitplane_eq_kernel(
+    n_pos: int, m_a: int, m_c: int, interpret: bool = False,
+    tile_w: int = 256,
+):
+    """Bit-sliced integer-equality over exponent planes — the VMEM form
+    of the MultiEq capacity-packed row check (multieq.rs:25-58 at the
+    packed level; see matvec._classify_pow2_eq_rows).
+
+    Inputs ``A u32[m_a·P, W]`` and ``C u32[m_c·P, W]`` (P = n_pos rounded
+    up to a power of two): addend k's plane for exponent e is row
+    ``k·P + e``; each column carries 32 independent instances, one per
+    bit. Returns ``bad u32[W]`` — bit j of column t is set iff
+    Σ 2^e·A-bits ≠ Σ 2^e·C-bits for that instance.
+
+    The whole computation per column tile runs on VMEM-resident planes:
+    HBM traffic is exactly read A + read C + write bad. Instead of
+    propagating carries (Kogge-Stone, log2(P) dependent steps), the
+    kernel carry-save-reduces the addends to two vectors x, y and then
+    verifies x + y == z POSITION-LOCALLY: the carry-in vector of a
+    correct addition is forced to k = x^y^z, and carries obey
+    c[e+1] = maj(x[e], y[e], c[e]), so equality holds iff
+    k == sh(maj(x, y, k)) at every position (headroom positions give
+    the top carry-out == 0 for free). When the c side has more than one
+    addend it is folded in by two's complement (x + y ≡ 0 mod 2^P, whose
+    local rule is k == sh(x|y)); soundness needs only |lhs − rhs| < 2^P,
+    guaranteed by the classifier's n_pos headroom. The XLA lowering of
+    the same check (matvec._pow2_eq_bad_words) is an independent
+    implementation — full CSA + Kogge-Stone — which the parity tests
+    compare bit-for-bit."""
+    key = (n_pos, m_a, m_c, interpret, tile_w)
+    cached = _BITPLANE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    P = 8
+    while P < n_pos:
+        P *= 2
+
+    def shpos(x, d=1):
+        # shift toward the MSB along the (sublane-major) position axis:
+        # row e of the result is x[e - d]; carries past row P-1 drop,
+        # sound because n_pos includes overflow headroom (classifier).
+        z = jnp.zeros((d, x.shape[1]), jnp.uint32)
+        return jnp.concatenate([z, x[: P - d]], axis=0)
+
+    def csa2(addends):
+        while len(addends) > 2:
+            nxt = []
+            for i in range(0, len(addends) - 2, 3):
+                a1, b1, c1 = addends[i : i + 3]
+                nxt.append(a1 ^ b1 ^ c1)
+                nxt.append(shpos((a1 & b1) | (c1 & (a1 ^ b1))))
+            rem = len(addends) % 3
+            if rem:
+                nxt.extend(addends[-rem:])
+            addends = nxt
+        if len(addends) == 1:
+            addends.append(jnp.zeros_like(addends[0]))
+        return addends
+
+    def kernel(a_ref, c_ref, o_ref):
+        a = a_ref[...]
+        addends = [a[k * P : (k + 1) * P, :] for k in range(m_a)]
+        if m_c == 1:
+            z = c_ref[...]
+            x, y = csa2(addends)
+            k = (x ^ y) ^ z
+            bad = k ^ shpos((x & y) | (k & (x | y)))
+        else:
+            c = c_ref[...]
+            addends += [~c[k * P : (k + 1) * P, :] for k in range(m_c)]
+            # two's-complement correction: +m_c, as all-ones planes at
+            # the set bits of m_c (constant per column)
+            e_row = jax.lax.broadcasted_iota(jnp.uint32, (P, tile_w), 0)
+            mc_plane = jnp.where(
+                ((jnp.uint32(m_c) >> e_row) & 1) != 0,
+                jnp.uint32(0xFFFFFFFF),
+                jnp.uint32(0),
+            )
+            addends.append(mc_plane)
+            x, y = csa2(addends)
+            k = x ^ y
+            bad = k ^ shpos(x | y)
+        r, kk = bad, P
+        while kk > 1:
+            kk //= 2
+            r = r[:kk] | r[kk : 2 * kk]
+        o_ref[...] = r  # [1, tw]
+
+    @jax.jit
+    def run(A, C):
+        W = A.shape[1]
+        assert W % tile_w == 0, "pad W to the tile width"
+        assert A.shape[0] == m_a * P and C.shape[0] == m_c * P
+        grid = (W // tile_w,)
+
+        def blk(rows):
+            return pl.BlockSpec(
+                (rows, tile_w), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[blk(m_a * P), blk(m_c * P)],
+            out_specs=blk(1),
+            out_shape=jax.ShapeDtypeStruct((1, W), jnp.uint32),
+            interpret=interpret,
+        )(A, C)
+        return out[0]
+
+    run.n_pos_padded = P
+    _BITPLANE_CACHE[key] = run
+    return run
+
+
 SEMI = 17  # limbs of the semi-reduced form (< p·2^11 < 2^266)
 
 

@@ -1599,13 +1599,20 @@ def _classify_pow2_eq_rows(template: R1CS, big_idx: np.ndarray):
     e_max = max(
         (e for _r, sa, sc in matched for e, _c in sa + sc), default=0
     )
-    m_max = 1
-    for _r, sa, sc in matched:
-        for s in (sa, sc):
+    # Per-side addend width: the c side of a MultiEq row (the packed
+    # result bits) is typically 1-2 addends/position while the a side
+    # (addmany sums) can be many — sizing each side's ELL independently
+    # shrinks the gathered plane volume several-fold.
+    m_side = {}
+    for key, idx in (("a", 1), ("c", 2)):
+        m_ = 1
+        for row in matched:
             cnt = defaultdict(int)
-            for e, _c in s:
+            for e, _c in row[idx]:
                 cnt[e] += 1
-            m_max = max(m_max, max(cnt.values(), default=1))
+            m_ = max(m_, max(cnt.values(), default=1))
+        m_side[key] = m_
+    m_max = max(m_side.values())
     # Positions padded so the final carry cannot overflow: each side's
     # value < p < 2^255, so 256 positions always suffice; smaller
     # templates use e_max + headroom.
@@ -1613,8 +1620,8 @@ def _classify_pow2_eq_rows(template: R1CS, big_idx: np.ndarray):
     spec = {"rows_orig": np.asarray([r for r, _a, _c in matched], np.int64),
             "n_pos": n_pos, "m": m_max}
     for key, idx in (("a", 1), ("c", 2)):
-        cols = np.zeros((n, n_pos, m_max), np.int32)
-        mask = np.zeros((n, n_pos, m_max), np.uint32)
+        cols = np.zeros((n, n_pos, m_side[key]), np.int32)
+        mask = np.zeros((n, n_pos, m_side[key]), np.uint32)
         for i, row in enumerate(matched):
             cnt = defaultdict(int)
             for e, col in row[idx]:
@@ -1633,12 +1640,12 @@ def _pow2_eq_bad_words(vals_p, spec):
     axis is kept MAJOR so the carry shifts are cheap major-axis pads,
     not second-minor relayouts."""
     n_pos = spec["n_pos"]
-    m = spec["m"]
 
     def sh(x, d=1):  # shift toward MSB along the (major) position axis
         return jnp.pad(x, ((d, 0), (0, 0), (0, 0)))[:n_pos]
 
     def side(cols, mask):
+        m = cols.shape[2]
         g = vals_p[cols.reshape(-1)].reshape(cols.shape + (-1,))
         g = g & mask[..., None]  # [n, n_pos, M, Bw]
         g = jnp.transpose(g, (1, 0, 2, 3))  # [n_pos, n, M, Bw]
@@ -1669,6 +1676,54 @@ def _pow2_eq_bad_words(vals_p, spec):
     rhs = side(spec["c_cols"], spec["c_mask"])
     diff = lhs ^ rhs  # [n_pos, n, Bw]
     return jax.lax.reduce(diff, np.uint32(0), jax.lax.bitwise_or, (0,))
+
+
+_POW2_TILE_W = 512
+
+
+def _pow2_eq_bad_words_pallas(vals_p, spec, interpret=False):
+    """Pallas form of _pow2_eq_bad_words: ONE fused gather of all addend
+    planes (empty ELL slots index a dedicated zero row, so no mask pass
+    and no pad pass), then the carry-free VMEM equality kernel
+    (field_pallas.make_bitplane_eq_kernel). Bit-identical to the XLA
+    lowering — the parity tests compare the two, which use different
+    adder algorithms (CSA+Kogge-Stone vs the local carry rule)."""
+    from .field_pallas import make_bitplane_eq_kernel
+
+    n_pos = spec["n_pos"]
+    n = spec["a_cols"].shape[0]
+    m_a = spec["a_cols"].shape[2]
+    m_c = spec["c_cols"].shape[2]
+    S_t, Bw = vals_p.shape
+    kern = make_bitplane_eq_kernel(
+        n_pos, m_a, m_c, interpret=interpret, tile_w=_POW2_TILE_W
+    )
+    P = kern.n_pos_padded
+    W = n * Bw
+    W_p = -(-W // _POW2_TILE_W) * _POW2_TILE_W
+
+    # Host-numpy index tables on purpose (see the _ConstPool note):
+    # [m, P, n], empty/padded slots pointing at the appended zero row.
+    tabs = []
+    for key_, m in (("a", m_a), ("c", m_c)):
+        cols_t = spec[key_ + "_cols"].transpose(2, 1, 0)  # [m, n_pos, n]
+        mask_t = spec[key_ + "_mask"].transpose(2, 1, 0)
+        cols_p = np.full((m, P, n), S_t, np.int32)
+        cols_p[:, :n_pos] = np.where(mask_t != 0, cols_t, S_t)
+        tabs.append(cols_p)
+    idx_all = np.concatenate([t.reshape(-1) for t in tabs])
+
+    vz = jnp.concatenate(
+        [vals_p, jnp.zeros((1, Bw), jnp.uint32)], axis=0
+    )
+    g = vz[idx_all]  # [(m_a + m_c)·P·n, Bw] — one fused gather
+    A = g[: m_a * P * n].reshape(m_a * P, W)
+    C = g[m_a * P * n :].reshape(m_c * P, W)
+    if W_p != W:
+        # zero columns are vacuously equal in both kernel forms
+        A = jnp.pad(A, ((0, 0), (0, W_p - W)))
+        C = jnp.pad(C, ((0, 0), (0, W_p - W)))
+    return kern(A, C)[:W].reshape(n, Bw)
 
 
 # bad-word formulas per family kind: X = packed word columns in the
@@ -1791,6 +1846,9 @@ def _build_packed_bits_check(template: R1CS, batch: int, use_pallas: bool,
     pow2_rows = (
         pow2_spec["rows_orig"] if pow2_spec is not None
         else np.zeros(0, np.int64)
+    )
+    _pow2_bad = (
+        _pow2_eq_bad_words_pallas if use_pallas else _pow2_eq_bad_words
     )
     rest_big_idx = big_idx[rest_big_pos].astype(np.int64)
     n_rest_big = len(rest_big_idx)
@@ -1919,7 +1977,7 @@ def _build_packed_bits_check(template: R1CS, batch: int, use_pallas: bool,
         if n_left:
             parts.append(_left_evs(vals_p).reshape(n_left, batch).T)
         if pow2_spec is not None:
-            words = _pow2_eq_bad_words(vals_p, pow2_spec)  # [n_p2, Bw]
+            words = _pow2_bad(vals_p, pow2_spec)  # [n_p2, Bw]
             bits = ((words[:, :, None] >> sh32) & np.uint32(1)).reshape(
                 words.shape[0], batch
             )
@@ -1973,7 +2031,7 @@ def _build_packed_bits_check(template: R1CS, batch: int, use_pallas: bool,
                 ),
             )
         if pow2_spec is not None:
-            words = _pow2_eq_bad_words(vals_p, pow2_spec)  # [n_p2, Bw]
+            words = _pow2_bad(vals_p, pow2_spec)  # [n_p2, Bw]
             nb = nb + jnp.sum(
                 jax.lax.population_count(words), dtype=jnp.uint32
             )

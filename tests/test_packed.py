@@ -181,6 +181,103 @@ def test_packed_families_cover_and_match():
         assert (m_p == m_u).all(), f"mask mismatch corrupting slot {slot}"
 
 
+def test_pow2_eq_pallas_matches_xla():
+    """The Pallas bit-plane equality kernel (interpret mode) must equal
+    the XLA plane lowering bit-for-bit: zero bad words on a valid packed
+    witness, identical words under single-bit corruption, and identical
+    words on fully random inputs (the function is total over words)."""
+    from bellpepper_tpu.backend.matvec import (
+        _classify_pow2_eq_rows,
+        _classify_small_rows,
+        _pow2_eq_bad_words,
+        _pow2_eq_bad_words_pallas,
+    )
+
+    template, prog = _addmany_setup()
+    _small, big_idx, _lay = _classify_small_rows(template)
+    spec, _rest = _classify_pow2_eq_rows(template, big_idx)
+    assert spec is not None and len(spec["rows_orig"]) > 0
+    B = 512
+    vp = _packed_z(prog, B)  # [B/32, S]
+
+    def both(vals_bm):
+        vals_p = jnp.asarray(vals_bm).T  # slot-major [S, B/32]
+        ref = np.asarray(_pow2_eq_bad_words(vals_p, spec))
+        new = np.asarray(
+            _pow2_eq_bad_words_pallas(vals_p, spec, interpret=True)
+        )
+        assert (ref == new).all()
+        return ref
+
+    assert both(vp).sum() == 0  # valid witness: no violations
+    # corrupt a slot that participates in a MultiEq row (from the spec)
+    cols = spec["a_cols"][spec["a_mask"] != 0]
+    slot = int(cols[cols > 0][0])
+    bad = both(vp.at[2, slot].set(vp[2, slot] ^ np.uint32(1 << 9)))
+    assert bad.sum() > 0
+    # random words (ONE slot all-ones, as the packed layout guarantees)
+    rand = RNG.integers(
+        0, 1 << 32, size=(B // 32, prog.num_slots), dtype=np.uint64
+    ).astype(np.uint32)
+    rand[:, 0] = 0xFFFFFFFF
+    both(jnp.asarray(rand))
+
+
+def test_bitplane_kernel_mc2_branch():
+    """m_c > 1 takes the two's-complement (mod 2^P) kernel form, which
+    no gadget circuit here produces — verify it against exact integer
+    arithmetic on synthetic planes, for equal and unequal sides."""
+    from bellpepper_tpu.backend.field_pallas import make_bitplane_eq_kernel
+
+    m_a, m_c, n_pos = 3, 2, 24
+    kern = make_bitplane_eq_kernel(n_pos, m_a, m_c, interpret=True)
+    P = kern.n_pos_padded
+    assert P == 32
+    W = 512
+
+    # random addend planes with bits only below 20 so every side's
+    # value < (m+1)·2^20 < 2^P (the classifier's soundness condition)
+    def rand_planes(m):
+        pl_ = np.zeros((m, P, W), np.uint32)
+        pl_[:, :20] = (
+            RNG.integers(0, 1 << 32, size=(m, 20, W), dtype=np.uint64)
+            .astype(np.uint32)
+        )
+        return pl_
+
+    def values(pl_):
+        """exact per-(column, bit-lane) integer value of Σ_k Σ_e 2^e·bit"""
+        tot = np.zeros((W, 32), np.uint64)
+        for k in range(pl_.shape[0]):
+            for e in range(P):
+                bits = (pl_[k, e][:, None] >> np.arange(32)) & 1
+                tot += bits.astype(np.uint64) << np.uint64(e)
+        return tot
+
+    A = rand_planes(m_a)
+    C = rand_planes(m_c)
+    # make a stripe of columns exactly equal: write Σa's binary rep
+    # into c addend 0 and zero addend 1
+    va = values(A)
+    for col in range(0, W, 3):
+        for e in range(P):
+            w = np.uint32(0)
+            for j in range(32):
+                w |= np.uint32(((int(va[col, j]) >> e) & 1) << j)
+            C[0, e, col] = w
+        C[1, :, col] = 0
+    expected = values(A) != values(C)  # [W, 32]
+    bad = np.asarray(
+        kern(
+            jnp.asarray(A.reshape(m_a * P, W)),
+            jnp.asarray(C.reshape(m_c * P, W)),
+        )
+    )  # u32[W]
+    got = ((bad[:, None] >> np.arange(32)) & 1) != 0
+    assert (got == expected).all()
+    assert not expected[::3].any() and expected.any()
+
+
 def test_packed_verdict_matches_mask():
     """The reduced (nb, first) verdict must agree with the full mask —
     including `first` as the min instance-major flat violation index —
