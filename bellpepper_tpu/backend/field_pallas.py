@@ -421,12 +421,19 @@ def make_bitplane_eq_kernel(
             c = c_ref[...]
             addends += [~c[k * P : (k + 1) * P, :] for k in range(m_c)]
             # two's-complement correction: +m_c, as all-ones planes at
-            # the set bits of m_c (constant per column)
+            # the set bits of m_c (constant per column). m_c and P are
+            # compile-time ints: select the set-bit rows by comparing the
+            # position iota against each static exponent — a runtime
+            # `m_c >> e_row` is implementation-defined once P > 32 (shift
+            # amount ≥ the 32-bit width).
             e_row = jax.lax.broadcasted_iota(jnp.uint32, (P, tile_w), 0)
+            sel = None
+            for e in range(m_c.bit_length()):
+                if (m_c >> e) & 1:
+                    eq = e_row == jnp.uint32(e)
+                    sel = eq if sel is None else sel | eq
             mc_plane = jnp.where(
-                ((jnp.uint32(m_c) >> e_row) & 1) != 0,
-                jnp.uint32(0xFFFFFFFF),
-                jnp.uint32(0),
+                sel, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
             )
             addends.append(mc_plane)
             x, y = csa2(addends)

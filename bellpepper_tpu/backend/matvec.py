@@ -2089,6 +2089,22 @@ def build_templated_check(
         small rows unpack in-register inside the int32 compare, and big
         rows unpack per 512-instance block into the fused kernels.
 
+    DOMAIN CONTRACT (bits / bits_packed): these forms verify a
+    BIT-VALUED witness domain — every z slot must be 0 or 1. "bits"
+    assumes it (values ≥ 2 make the int32 small-row compare and the
+    digit-masking products meaningless); "bits_packed" enforces it by
+    representation (a slot IS one bit per instance), which is also why
+    booleanity rows (1−x)·x = 0 are statically satisfied there. Exact
+    field semantics are guaranteed for every 0/1 assignment, including
+    inconsistent intermediate slots (see the exhaustive truth-table and
+    every-slot corruption tests in tests/test_packed.py) — but a non-bit
+    FIELD value planted in a bit slot (the reference's set-to-random
+    mutation probes, num.rs:707-713) is representable only on the
+    "limbs" form or the host TestConstraintSystem oracle, where
+    booleanity rows are checked as field equations. Callers whose
+    witness values are not structurally guaranteed bits must use
+    witness_form="limbs".
+
     `_slot_major` (bits form only): the returned function takes
     bits_T uint32[S_t, B] instead of [B, S_t] (skips the transpose —
     used by the packed path, whose blocks are already slot-major).
@@ -2459,7 +2475,12 @@ class TemplatedSatisfier:
 
     z layout: [B, S_t, 16] where S_t = template num_slots and slot 0 of
     every instance is ONE (templates are input-free beyond ONE, like
-    WitnessCS children before an extend, witness_cs.rs:159-161)."""
+    WitnessCS children before an extend, witness_cs.rs:159-161).
+
+    witness_form "bits"/"bits_packed" check a BIT-VALUED witness domain
+    only (see build_templated_check's domain contract): non-bit field
+    values in bit slots — the reference's set-to-random mutation kills
+    (num.rs:707-713) — need witness_form="limbs" or the host oracle."""
 
     def __init__(
         self,

@@ -223,41 +223,40 @@ def test_pow2_eq_pallas_matches_xla():
     both(jnp.asarray(rand))
 
 
-def test_bitplane_kernel_mc2_branch():
+def _check_mc2_kernel(m_a, m_c, n_pos, expected_P, max_bit):
     """m_c > 1 takes the two's-complement (mod 2^P) kernel form, which
     no gadget circuit here produces — verify it against exact integer
     arithmetic on synthetic planes, for equal and unequal sides."""
     from bellpepper_tpu.backend.field_pallas import make_bitplane_eq_kernel
 
-    m_a, m_c, n_pos = 3, 2, 24
     kern = make_bitplane_eq_kernel(n_pos, m_a, m_c, interpret=True)
     P = kern.n_pos_padded
-    assert P == 32
+    assert P == expected_P
     W = 512
 
-    # random addend planes with bits only below 20 so every side's
-    # value < (m+1)·2^20 < 2^P (the classifier's soundness condition)
+    # random addend planes with bits only below max_bit so every side's
+    # value < (m+1)·2^max_bit < 2^P (the classifier's soundness condition)
     def rand_planes(m):
         pl_ = np.zeros((m, P, W), np.uint32)
-        pl_[:, :20] = (
-            RNG.integers(0, 1 << 32, size=(m, 20, W), dtype=np.uint64)
+        pl_[:, :max_bit] = (
+            RNG.integers(0, 1 << 32, size=(m, max_bit, W), dtype=np.uint64)
             .astype(np.uint32)
         )
         return pl_
 
     def values(pl_):
         """exact per-(column, bit-lane) integer value of Σ_k Σ_e 2^e·bit"""
-        tot = np.zeros((W, 32), np.uint64)
+        tot = np.zeros((W, 32), object)
         for k in range(pl_.shape[0]):
             for e in range(P):
                 bits = (pl_[k, e][:, None] >> np.arange(32)) & 1
-                tot += bits.astype(np.uint64) << np.uint64(e)
+                tot += bits.astype(object) << e
         return tot
 
     A = rand_planes(m_a)
     C = rand_planes(m_c)
     # make a stripe of columns exactly equal: write Σa's binary rep
-    # into c addend 0 and zero addend 1
+    # into c addend 0 and zero the rest
     va = values(A)
     for col in range(0, W, 3):
         for e in range(P):
@@ -265,7 +264,7 @@ def test_bitplane_kernel_mc2_branch():
             for j in range(32):
                 w |= np.uint32(((int(va[col, j]) >> e) & 1) << j)
             C[0, e, col] = w
-        C[1, :, col] = 0
+        C[1:, :, col] = 0
     expected = values(A) != values(C)  # [W, 32]
     bad = np.asarray(
         kern(
@@ -276,6 +275,172 @@ def test_bitplane_kernel_mc2_branch():
     got = ((bad[:, None] >> np.arange(32)) & 1) != 0
     assert (got == expected).all()
     assert not expected[::3].any() and expected.any()
+
+
+def test_bitplane_kernel_mc2_branch():
+    _check_mc2_kernel(m_a=3, m_c=2, n_pos=24, expected_P=32, max_bit=20)
+
+
+def test_bitplane_kernel_mc2_branch_wide():
+    """P > 32 with m_c > 1: the two's-complement correction plane must be
+    built from STATIC bit selection — a runtime `m_c >> e_row` has
+    implementation-defined results once the shift amount reaches 32
+    (ADVICE r4). m_c = 3 sets two correction rows."""
+    _check_mc2_kernel(m_a=4, m_c=3, n_pos=40, expected_P=64, max_bit=36)
+
+
+def _adversarial_pow2_setup():
+    """Template with a MultiEq-SHAPED row whose A-side coefficient total
+    is exactly p: 2^254·x + (p − 2^254)·y ≡ 0 (mod p) holds at
+    x = y = 1 while the INTEGER sum is p ≠ 0. If the classifier
+    misrouted this row to the bit-sliced integer-equality check
+    (matvec.py _classify_pow2_eq_rows' `total >= p` guard), the check
+    would flag a field-satisfied witness as violated."""
+    from bellpepper_tpu.constraint_system import ConstraintSystem
+
+    from bellpepper_tpu.fields import SCALAR
+
+    p = SCALAR.p
+    hi = 1 << 254
+
+    def circuit(cs):
+        x = AllocatedBit.alloc(cs.namespace("x"), None)
+        y = AllocatedBit.alloc(cs.namespace("y"), None)
+        cs.enforce(
+            "adv total=p",
+            lambda lc: lc + (hi, x.variable) + (p - hi, y.variable),
+            lambda lc: lc + ConstraintSystem.one(),
+            lambda lc: lc,
+        )
+        # enough genuine gadget rows to keep the small/big partition on
+        bits = [
+            AllocatedBit.alloc(cs.namespace(f"b{i}"), None) for i in range(8)
+        ]
+        for i in range(4):
+            AllocatedBit.xor(cs.namespace(f"x{i}"), bits[i], bits[i + 4])
+
+    shape = ShapeCS()
+    circuit(shape)
+    template = shape.finish()
+    tape = TapeCS()
+    circuit(tape)
+    return template, WitnessProgram(tape)
+
+
+def test_pow2_classifier_rejects_side_total_ge_p():
+    from bellpepper_tpu.backend.matvec import (
+        _classify_pow2_eq_rows,
+        _classify_small_rows,
+    )
+
+    template, prog = _adversarial_pow2_setup()
+    ADV = 2  # after the x/y booleanity rows
+    small_idx, big_idx, _lay = _classify_small_rows(template)
+    assert ADV in big_idx, "the adversarial row must be a big row"
+    spec, rest_pos = _classify_pow2_eq_rows(template, big_idx)
+    # the >= p guard must refuse the row: it lands in rest_pos (the
+    # fused field-exact path), never in the integer-equality spec
+    assert spec is None or ADV not in spec["rows_orig"]
+    assert ADV in [int(big_idx[r]) for r in rest_pos]
+
+    # End-to-end: the packed mask must agree with the bits form AND with
+    # ground-truth field semantics — instance (x=1, y=1) satisfies the
+    # row mod p even though the integer sum is p.
+    B = 512
+    n_free = len(prog.free_slots)
+    free = RNG.integers(0, 2, size=(B, n_free)).astype(np.uint32)
+    free[0, :2] = (1, 1)  # lhs = p ≡ 0 (mod p): satisfied, ℤ-sum ≠ 0
+    free[1, :2] = (0, 0)  # lhs = 0: satisfied
+    free[2, :2] = (1, 0)  # lhs = 2^254: violated
+    free[3, :2] = (0, 1)  # lhs = p − 2^254: violated
+    vp = prog.build_packed()(pack_bits(jnp.asarray(free)))
+    viol_p = jax.jit(build_templated_check(template, B, False, "bits_packed"))
+    viol_u = jax.jit(build_templated_check(template, B, False, "bits"))
+    m_p = np.asarray(viol_p(vp)).reshape(B, template.num_constraints)
+    m_u = np.asarray(viol_u(jnp.asarray(unpack_bits(vp)))).reshape(
+        B, template.num_constraints
+    )
+    assert (m_p == m_u).all()
+    assert not m_p[0, ADV] and not m_p[1, ADV]
+    assert m_p[2, ADV] and m_p[3, ADV]
+    # host ground truth for the four corner instances
+    for i in range(4):
+        z = np.asarray(unpack_bits(vp))[i]
+        ok, first = template.eval_host([1], [int(v) for v in z[1:]])
+        assert ok == (not m_p[i].any())
+
+
+def _lookalike_setup():
+    """Family-LOOKALIKE rows with perturbed coefficients: an and-shaped
+    row with a non-unit C coefficient (x·y = 2z) and an xor-shaped row
+    with the result sign flipped (2x·y = x + y + z). Neither matches its
+    family's exact-coefficient pattern (matvec.py
+    _classify_bit_row_families), so both must fall to the generic
+    leftover path and keep exact field semantics."""
+
+    def circuit(cs):
+        x = AllocatedBit.alloc(cs.namespace("x"), None)
+        y = AllocatedBit.alloc(cs.namespace("y"), None)
+        z = AllocatedBit.alloc(cs.namespace("z"), None)
+        cs.enforce(
+            "and-lookalike",
+            lambda lc: lc + x.variable,
+            lambda lc: lc + y.variable,
+            lambda lc: lc + (2, z.variable),
+        )
+        cs.enforce(
+            "xor-lookalike",
+            lambda lc: lc + x.variable + x.variable,
+            lambda lc: lc + y.variable,
+            lambda lc: lc + x.variable + y.variable + z.variable,
+        )
+        # genuine rows so the family classifier has real matches too
+        bits = [
+            AllocatedBit.alloc(cs.namespace(f"b{i}"), None) for i in range(8)
+        ]
+        for i in range(4):
+            AllocatedBit.xor(cs.namespace(f"g{i}"), bits[i], bits[i + 4])
+
+    shape = ShapeCS()
+    circuit(shape)
+    template = shape.finish()
+    tape = TapeCS()
+    circuit(tape)
+    return template, WitnessProgram(tape)
+
+
+def test_family_lookalikes_fall_to_generic():
+    from bellpepper_tpu.backend.matvec import (
+        _classify_bit_row_families,
+        _classify_small_rows,
+    )
+
+    template, prog = _lookalike_setup()
+    small_idx, _big, _lay = _classify_small_rows(template)
+    fams, leftover_pos = _classify_bit_row_families(template, small_idx)
+    leftover_rows = set(int(r) for r in small_idx[leftover_pos])
+    # rows 3 and 4 (after the three booleanity rows) are the lookalikes
+    assert {3, 4} <= leftover_rows, f"lookalikes matched a family: {fams.keys()}"
+    for kind, (_ops, rows) in fams.items():
+        assert 3 not in rows and 4 not in rows
+
+    # the generic path must kill mutations the family formulas would
+    # miss: all-zeros satisfies both rows; z = 1 violates both.
+    B = 512
+    n_free = len(prog.free_slots)
+    free = RNG.integers(0, 2, size=(B, n_free)).astype(np.uint32)
+    free[0, :3] = (0, 0, 0)  # satisfies both lookalikes
+    free[1, :3] = (0, 0, 1)  # violates both (0 = 2z; 0 = z)
+    vp = prog.build_packed()(pack_bits(jnp.asarray(free)))
+    viol_p = jax.jit(build_templated_check(template, B, False, "bits_packed"))
+    viol_u = jax.jit(build_templated_check(template, B, False, "bits"))
+    m_p = np.asarray(viol_p(vp)).reshape(B, template.num_constraints)
+    m_u = np.asarray(viol_u(jnp.asarray(unpack_bits(vp)))).reshape(
+        B, template.num_constraints
+    )
+    assert (m_p == m_u).all()
+    assert not m_p[0, 3] and not m_p[0, 4]
+    assert m_p[1, 3] and m_p[1, 4]
 
 
 def test_packed_verdict_matches_mask():
@@ -308,6 +473,34 @@ def test_packed_production_step():
     step = build_packed_production_step(prog, template, B, use_pallas=False)
     total, _first = step(jnp.asarray(free))
     assert int(total) == 0
+
+
+def test_bits_domain_contract_limbs_kills_nonbit():
+    """Pointer test for the bits/bits_packed DOMAIN CONTRACT
+    (build_templated_check docstring): a NON-bit field value planted in
+    a bit slot — the reference's set-to-random mutation probe
+    (num.rs:707-713) — is representable only on the limbs form, where
+    the booleanity row must catch it; the packed representation cannot
+    express it at all (a slot IS one bit per instance)."""
+    from bellpepper_tpu.backend.matvec import build_templated_check
+    from bellpepper_tpu.backend.field_jnp import get_backend
+
+    template, prog = _addmany_setup()
+    assert "DOMAIN CONTRACT" in build_templated_check.__doc__
+    B = 8
+    free = RNG.integers(0, 2, size=(B, len(prog.free_slots))).astype(np.uint32)
+    vals, _fl = prog.run(free)
+    be = get_backend(template.field)
+    z3 = np.zeros((B, prog.num_slots, 16), np.uint32)
+    z3[..., 0] = np.asarray(vals) & 0xFFFF
+    viol = jax.jit(build_templated_check(template, B, False, "limbs"))
+    assert np.asarray(viol(jnp.asarray(z3))).sum() == 0
+    # plant a non-bit field value (5) into a booleanity-constrained slot
+    bad = z3.copy()
+    bad[2, 5] = 0
+    bad[2, 5, 0] = 5
+    m = np.asarray(viol(jnp.asarray(bad))).reshape(B, template.num_constraints)
+    assert m[2].any(), "limbs form must kill the non-bit mutation"
 
 
 def test_family_formulas_exhaustive_truth_tables():
