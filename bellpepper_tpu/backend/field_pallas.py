@@ -55,6 +55,14 @@ class _Consts:
         self.fold16 = [
             _digits(pow(2, 16 * (L16 + i), p), 16, L16) for i in range(18)
         ]
+        # Split-multiplier fold rows (v2 tails): the high-byte companion
+        # limbs16(2^(16·(16+i)+8) mod p). Folding position 16+i with its
+        # multiplier split as m0 + 2^8·m1 (each < 2^8) makes every
+        # product m·entry < 2^24, so partial sums accumulate in uint32
+        # WITHOUT the lo/hi split — 2 ops per (row, entry) instead of 5.
+        self.fold16_hi = [
+            _digits(pow(2, 16 * (L16 + i) + 8, p), 16, L16) for i in range(18)
+        ]
         # p·2^11 as 17 limbs: a multiple of p exceeding any 17-limb
         # semi-reduced value (< 2^266), for borrow-free negation.
         self.p2_17 = _digits(p << 11, 16, 17)
@@ -66,6 +74,44 @@ class _Consts:
         # Shift-subtract chain: p << k as 17 16-bit limbs, high k first.
         n_steps = 266 - field.NUM_BITS
         self.ps = [_digits(p << k, 16, 17) for k in range(n_steps - 1, -1, -1)]
+        # p^{-1} mod 2^16 (p odd): the Montgomery zero-test constant.
+        # For x < 2^266 ≡ 0 (mod p) the quotient m = x/p fits 16 bits
+        # (NUM_BITS ≥ 250), so x is a multiple of p iff
+        # x == ((x₀·p0inv) mod 2^16)·p — one const multiply + compare
+        # instead of the 11-step shift-subtract chain.
+        self.p0inv = pow(p, -1, 1 << 16) if p % 2 else None
+        # Quotient-estimate canonicalization (v2 of the chain) for
+        # 253..256-bit fields: q̂ = floor(T·r / 2^28) with
+        # T = floor(x/2^240) (≤ 2^26) and r = floor(2^28 / ceil(p/2^240))
+        # underestimates q = floor(x/p) by at most _QE_ERR, so
+        # x − q̂·p < (_QE_ERR+1)·p finishes with 3 conditional subtracts.
+        # All truncations round DOWN and the denominator rounds UP, so
+        # q̂ ≤ q always (no underflow). Error budget: 2 floor
+        # truncations + T·(r truncation)/2^28 ≤ 0.25 + q·(ceil slack)/D
+        # ≤ q·2^(240-NUM_BITS) ≤ 2^13·2^-13 = 1 (NUM_BITS ≥ 253) + r
+        # relative error ≤ 2^-13·q — bounded ≤ 5 and verified
+        # exhaustively over multiples of p below.
+        self.qe = None
+        if 253 <= field.NUM_BITS <= 256:
+            D = -(-p // (1 << 240))
+            r = (1 << 28) // D
+            q_max = ((1 << 266) - 1) // p
+            worst = 0
+            for k in range(0, q_max + 1):
+                for x in (k * p, k * p + p - 1, min((k + 1) * p - 1, (1 << 266) - 1)):
+                    if x >= (1 << 266):
+                        continue
+                    t0 = (x >> 240) & 0xFFFF
+                    t1 = x >> 256
+                    qh = ((t0 * r) >> 28) + ((t1 * r) >> 12)
+                    q = x // p
+                    assert 0 <= q - qh, (k, x)
+                    worst = max(worst, q - qh)
+            assert worst <= _QE_ERR, f"quotient estimate error {worst}"
+            self.qe = r
+
+
+_QE_ERR = 6  # cond-subtract coverage: x' < 7p < 8p → sub 4p, 2p, p
 
 
 # ---------------------------------------------------------------------------
@@ -194,28 +240,116 @@ def _carry16_rows(rows: List[jnp.ndarray], n_out: int) -> List[jnp.ndarray]:
     return out
 
 
+def _fold1_split(d: List[jnp.ndarray], consts: _Consts, n_rows: int) -> List[jnp.ndarray]:
+    """Fold 16-bit-basis positions 16..16+n_rows−1 into positions 0..15
+    with SPLIT multipliers: d[16+i] = m0 + 2^8·m1 (each < 2^8), so every
+    product m·entry < 2^24 and partial sums accumulate directly in
+    uint32 (≤ 2·n_rows ≤ 36 terms × 2^24 < 2^29.2) — no lo/hi split.
+    Returns 16 accumulated positions (NOT carried)."""
+    acc: List = list(d[:L16])
+    for i in range(n_rows):
+        hi_d = d[L16 + i]
+        m0 = hi_d & 0xFF
+        m1 = hi_d >> 8
+        for m, row in ((m0, consts.fold16[i]), (m1, consts.fold16_hi[i])):
+            for l in range(L16):
+                c = row[l]
+                if c == 0:
+                    continue
+                acc[l] = acc[l] + m * jnp.uint32(c)
+    return acc
+
+
+def _canon_tail_v2(x: List[jnp.ndarray], consts: _Consts) -> List[jnp.ndarray]:
+    """17-limb x < 2^266 → 16 canonical limbs, via quotient-estimate
+    subtraction (see _Consts.qe) + 3 conditional subtracts — replaces
+    the 11-step shift-subtract chain (~350 ops vs ~935)."""
+    r = consts.qe
+    p = sum(v << (16 * j) for j, v in enumerate(consts.p16))
+    qh = ((x[15] * jnp.uint32(r)) >> 28) + ((x[16] * jnp.uint32(r)) >> 12)
+    # y = q̂·p as 17 16-bit limbs (carry-normalized first, so the
+    # subtraction below is a standard borrow ∈ {0, 1} chain — a fused
+    # lo+hi subtrahend can exceed 0xFFFF and need a 2-borrow).
+    y = []
+    carry = None
+    for i in range(17):
+        if i < L16 and consts.p16[i]:
+            t = qh * jnp.uint32(consts.p16[i])
+            lo = t & 0xFFFF
+            hi = t >> 16
+        else:
+            lo = hi = None
+        tot = lo
+        if carry is not None:
+            tot = carry if tot is None else tot + carry
+        y.append(jnp.zeros_like(x[0]) if tot is None else tot & 0xFFFF)
+        next_carry = None if tot is None else tot >> 16
+        if hi is not None:
+            next_carry = hi if next_carry is None else next_carry + hi
+        carry = next_carry
+    out = []
+    borrow = None
+    for i in range(17):
+        d = x[i] - y[i]
+        if borrow is not None:
+            d = d - borrow
+        borrow = d >> 31
+        out.append(d & 0xFFFF)
+    # x' < (_QE_ERR + 1)·p ≤ 7p < 8p: conditional subtracts 4p, 2p, p.
+    for k in (2, 1, 0):
+        ps = _digits(p << k, 16, 17)
+        borrow = None
+        diff = []
+        for i in range(17):
+            d = out[i] - jnp.uint32(ps[i])
+            if borrow is not None:
+                d = d - borrow
+            borrow = d >> 31
+            diff.append(d & 0xFFFF)
+        keep = borrow == 0
+        out = [jnp.where(keep, diff[i], out[i]) for i in range(17)]
+    return out[:L16]
+
+
+def _mont_zero_rows(x: List[jnp.ndarray], consts: _Consts) -> jnp.ndarray:
+    """17-limb x < 2^266 → uint32 mask (0 iff x ≡ 0 mod p). The
+    Montgomery zero-test: if p | x then m = x/p < 2^16 (NUM_BITS ≥ 250)
+    and m ≡ x₀·p^{-1} (mod 2^16), so x is a multiple of p iff
+    x == m̂·p for m̂ = (x₀·p0inv) & 0xFFFF (if p ∤ x, every m̂·p is a
+    multiple of p ≠ x, and the compare fails on some limb). One const
+    multiply + a 17-limb compare replaces the canonicalization chain."""
+    mh = (x[0] * jnp.uint32(consts.p0inv)) & 0xFFFF
+    bad = None
+    carry = None
+    for i in range(17):
+        if i < L16 and consts.p16[i]:
+            t = mh * jnp.uint32(consts.p16[i])
+            lo = t & 0xFFFF
+            hi = t >> 16
+        else:
+            lo = hi = None
+        tot = lo
+        if carry is not None:
+            tot = carry if tot is None else tot + carry
+        limb = jnp.zeros_like(x[0]) if tot is None else tot & 0xFFFF
+        next_carry = None if tot is None else tot >> 16
+        if hi is not None:
+            next_carry = hi if next_carry is None else next_carry + hi
+        carry = next_carry
+        diff = limb ^ x[i]
+        bad = diff if bad is None else bad | diff
+    return bad
+
+
 def _reduce16_rows(digit_rows: List[jnp.ndarray], consts: _Consts) -> List[jnp.ndarray]:
     """32 16-bit-basis positions (each < 2²¹) → 16 canonical limb rows.
 
-    carry → fold(16 rows, split accumulation) → carry → final fold at
+    carry → fold(16 rows, split multipliers) → carry → final fold at
     8-bit multiplier granularity (products < 2²⁴, no split needed) →
-    carry → shift-subtract chain (same 17-limb chain as the 8-bit path)."""
+    carry → quotient-estimate canonicalization (or the shift-subtract
+    chain for fields outside the 253-256-bit window)."""
     d = _carry16_rows(digit_rows, 2 * L16)  # value < 2^512
-    # fold1: positions 16..31 → Σ d[16+i]·fold16[i]; split accumulation.
-    acc: List = list(d[:L16]) + [None]
-    for i in range(L16):
-        hi_d = d[L16 + i]
-        row = consts.fold16[i]
-        for l in range(L16):
-            c = row[l]
-            if c == 0:
-                continue
-            t = hi_d * jnp.uint32(c)
-            lo = t & 0xFFFF
-            hi = t >> 16
-            acc[l] = lo if acc[l] is None else acc[l] + lo
-            acc[l + 1] = hi if acc[l + 1] is None else acc[l + 1] + hi
-    acc = [x if x is not None else jnp.zeros_like(d[0]) for x in acc]
+    acc = _fold1_split(d, consts, L16)
     d2 = _carry16_rows(acc, 18)  # value < 2^276 → d2[17] < 2^4
     # fold2 at 8-bit multiplier granularity: multipliers m < 2^8 so
     # m·row16 < 2^24; base + 3 products < 2^26 — no split accumulation.
@@ -230,6 +364,8 @@ def _reduce16_rows(digit_rows: List[jnp.ndarray], consts: _Consts) -> List[jnp.n
                 continue
             out[l] = out[l] + m * jnp.uint32(c)
     x16 = _carry16_rows(out, 17)  # value < 2^256 + 3·2^8·p < 2^266
+    if consts.qe is not None:
+        return _canon_tail_v2(x16, consts)
     x16 = _chain_rows(x16, consts)
     return x16[:L16]
 
@@ -536,23 +672,11 @@ def _mulcmp_rows(
             acc[k + 1] = hi if acc[k + 1] is None else acc[k + 1] + hi
     for i in range(SEMI):
         acc[i] = acc[i] + neg[i]
-    # canonical reduce: carry → fold(18 rows) → carry → 8-bit-granularity
-    # fold → carry → chain (same tail as _reduce16_rows).
+    # reduce to < 2^266: carry → fold(18 rows, split multipliers) →
+    # carry → 8-bit-granularity fold → carry; then the Montgomery
+    # zero-test replaces canonicalize-and-compare-to-zero entirely.
     d = _carry16_rows(acc, 2 * SEMI)  # value < 2^544 → 34 positions
-    out: List = list(d[:L16]) + [None]
-    for i in range(18):
-        hi_d = d[L16 + i]
-        row = consts.fold16[i]
-        for l in range(L16):
-            c = row[l]
-            if c == 0:
-                continue
-            t = hi_d * jnp.uint32(c)
-            lo = t & 0xFFFF
-            hi = t >> 16
-            out[l] = lo if out[l] is None else out[l] + lo
-            out[l + 1] = hi if out[l + 1] is None else out[l + 1] + hi
-    out = [x if x is not None else jnp.zeros_like(d[0]) for x in out]
+    out = _fold1_split(d, consts, 18)
     d2 = _carry16_rows(out, 18)  # value < 2^276 → d2[17] < 2^4
     m0 = d2[L16] & 0xFF
     m1 = d2[L16] >> 8
@@ -564,8 +688,10 @@ def _mulcmp_rows(
             if c == 0:
                 continue
             fin[l] = fin[l] + m * jnp.uint32(c)
-    x16 = _carry16_rows(fin, SEMI)  # < 2^256 + 3·2^8·p < 2^266
-    x16 = _chain_rows(x16, consts)  # canonical: 0 iff a·b ≡ c
+    x17 = _carry16_rows(fin, SEMI)  # < 2^256 + 3·2^8·p < 2^266
+    if consts.p0inv is not None:
+        return _mont_zero_rows(x17, consts)
+    x16 = _chain_rows(x17, consts)  # canonical: 0 iff a·b ≡ c
     bad = x16[0]
     for l in range(1, L16):
         bad = bad | x16[l]

@@ -1358,6 +1358,594 @@ def _build_trivial_limbs_check(
     return violations
 
 
+# ---------------------------------------------------------------------------
+# MIXED witness form: u32-domain slots in a [B, S_t] uint32 buffer, field
+# slots in a [B, F, 16] limb sidecar — exactly what WitnessProgram.build()
+# produces. The limbs form forces EVERY slot into 64-byte limb rows (plus a
+# [S_t, B, 16] transpose and, for any fold row, a [S_t, 32, B] digit
+# relayout); measured on config 1 those relayouts cost 5-10× the actual
+# mul-compare kernel time. Mixed keeps bit/u32 slots at 4 bytes, so:
+#   * booleanity rows are one u32 compare (vals[:, x] <= 1);
+#   * linear rows (B side = ONE — AllocatedNum.add, num.rs:279-309) skip
+#     the 17-limb mul entirely: a − c + 4p must be a small multiple of p,
+#     verified by a single-limb Montgomery zero-test;
+#   * trivial product rows (mul/square/select/nonzero, num.rs:311-403)
+#     assemble ≤2-term operands from either buffer and ride the fused
+#     mul-compare kernel;
+#   * power-of-two integer rows (pack_into_inputs / pack_bits
+#     multipack.rs:12-38, MultiEq flushes multieq.rs:25-58) evaluate as
+#     exact integer window sums of the u32 operands, compared to the
+#     field side by a multi-limb Montgomery zero-test — no field
+#     arithmetic at all;
+#   * anything else falls back to the limbs pipeline on a sub-template
+#     remapped to its USED slots only.
+#
+# Domain contract (mirrors the limbs form): field rows canonical (< p),
+# u32 slots any value < 2^32. All checks are exact field semantics over
+# that domain.
+# ---------------------------------------------------------------------------
+U32_SRC = 0
+FIELD_SRC = 1
+
+
+def _classify_mixed_rows(template: R1CS, field_slots):
+    """Partition rows for the mixed check. Returns a dict:
+      bool_u32: [(row, col)] booleanity rows on u32 slots
+      lin:      [(row, spec_a, spec_c)] rows with B = ONE, both sides
+                ≤2-term trivial — spec = (const, [(src, idx, neg)])
+      mul:      [(row, spec_a, spec_b, spec_c)] trivial product rows
+      pow2:     [(row, side_a, side_c)] — side = (const,
+                [("u32", col, exp)], [(fs_idx, neg)]) integer rows
+      rest:     [row] fallback rows
+    """
+    p = template.field.p
+    R = template.num_constraints
+    fs_row = {int(s): i for i, s in enumerate(field_slots)}
+    table = [int(c) % p for c in template.coeff_table]
+    terms = {}
+    for name in ("a", "b", "c"):
+        m = getattr(template, name)
+        rows = np.asarray(m.rows)
+        cols = np.asarray(m.cols)
+        cids = np.asarray(m.coeff_ids)
+        lst = [dict() for _ in range(R)]
+        for e in np.argsort(rows, kind="stable"):
+            r = int(rows[e])
+            c = int(cols[e])
+            v = (lst[r].get(c, 0) + table[cids[e]]) % p
+            if v:
+                lst[r][c] = v
+            elif c in lst[r]:
+                del lst[r][c]
+        terms[name] = lst
+
+    def triv(d):
+        const = d.get(0, 0)
+        vars_ = []
+        for col, cf in d.items():
+            if col == 0:
+                continue
+            if cf == 1:
+                vars_.append((col, 0))
+            elif cf == p - 1:
+                vars_.append((col, 1))
+            else:
+                return None
+        if len(vars_) > 2:
+            return None
+        src_vars = [
+            (
+                (FIELD_SRC, fs_row[col], ng)
+                if col in fs_row
+                else (U32_SRC, col, ng)
+            )
+            for col, ng in vars_
+        ]
+        return (const, src_vars)
+
+    def pow2_side(d):
+        """(const, u32_terms [(col, exp)], field_terms [(fs_idx, neg)])
+        or None. u32 slots need positive power-of-two coefficients (the
+        multipack/MultiEq shape); field slots coeff ±1."""
+        const = 0
+        u32_terms = []
+        f_terms = []
+        for col, cf in d.items():
+            if col == 0:
+                const = cf
+            elif col in fs_row:
+                if cf == 1:
+                    f_terms.append((fs_row[col], 0))
+                elif cf == p - 1:
+                    f_terms.append((fs_row[col], 1))
+                else:
+                    return None
+            else:
+                if cf & (cf - 1):
+                    return None  # not a power of two
+                e = cf.bit_length() - 1
+                if e > 256:
+                    return None
+                u32_terms.append((col, e))
+        return (const, u32_terms, f_terms)
+
+    out = {"bool_u32": [], "lin": [], "mul": [], "pow2": [], "rest": []}
+    for r in range(R):
+        A, B, C = terms["a"][r], terms["b"][r], terms["c"][r]
+        sa, sb, sc = triv(A), triv(B), triv(C)
+        if sa is not None and sb is not None and sc is not None:
+            if (
+                sc == (0, [])
+                and sa[0] == 1
+                and len(sa[1]) == 1
+                and sa[1][0][2] == 1
+                and sa[1][0][0] == U32_SRC
+                and sb == (0, [(U32_SRC, sa[1][0][1], 0)])
+            ):
+                out["bool_u32"].append((r, sa[1][0][1]))
+            elif sb == (1, []):
+                out["lin"].append((r, sa, sc))
+            else:
+                out["mul"].append((r, sa, sb, sc))
+            continue
+        if B == {0: 1}:
+            pa = pow2_side(A)
+            pc = pow2_side(C)
+            if pa is not None and pc is not None:
+                # window-accumulation exactness: ≤ 64 overlapping
+                # contributions per 16-bit window per side (u32 window
+                # sums stay < 2^22)
+                ok = True
+                for side in (pa, pc):
+                    cnt = defaultdict(int)
+                    for _col, e in side[1]:
+                        for w in range(e // 16, e // 16 + 3):
+                            cnt[w] += 1
+                    if cnt and max(cnt.values()) > 64:
+                        ok = False
+                if ok:
+                    out["pow2"].append((r, pa, pc))
+                    continue
+        out["rest"].append(r)
+    return out
+
+
+def _build_mixed_check(template: R1CS, batch: int, use_pallas: bool,
+                       field_slots):
+    """violations(vals u32[B, S_t], flimbs u32[B, F, 16]) → bool[B·R]
+    in original row order (instances major). field_slots[i] = the slot
+    whose field value lives in flimbs[:, i]."""
+    field = template.field
+    p = field.p
+    R = template.num_constraints
+    be = get_backend(field)
+    F = max(len(field_slots), 1)
+    cls = _classify_mixed_rows(template, field_slots)
+    n_bool = len(cls["bool_u32"])
+    n_lin = len(cls["lin"])
+    n_mul = len(cls["mul"])
+    n_pow2 = len(cls["pow2"])
+    rest_rows = np.asarray(cls["rest"], np.int64)
+    n_rest = len(rest_rows)
+
+    p17 = [(p >> (16 * i)) & 0xFFFF for i in range(17)]
+    p4_17 = [((p << 2) >> (16 * i)) & 0xFFFF for i in range(17)]
+    off_lin = [((p << 3) >> (16 * i)) & 0xFFFF for i in range(17)]
+    p0inv = pow(p, -1, 1 << 16) & 0xFFFF
+
+    bool_cols = jax.device_put(
+        np.asarray([c for _r, c in cls["bool_u32"]], np.int32)
+    )
+
+    def _operand_spec(rows_specs, oi):
+        """Static arrays for operand oi of a list of (row, *specs):
+        const limbs + up to 2 field-source terms + up to 2 u32 terms."""
+        n = len(rows_specs)
+        const = np.zeros((n, 17), np.uint32)
+        f_idx = np.zeros((n, 2), np.int32)
+        f_on = np.zeros((n, 2), np.uint32)
+        f_neg = np.zeros((n, 2), np.uint32)
+        u_col = np.zeros((n, 2), np.int32)
+        u_on = np.zeros((n, 2), np.uint32)
+        u_neg = np.zeros((n, 2), np.uint32)
+        for w, (_r, *specs) in enumerate(rows_specs):
+            cv, vars_ = specs[oi]
+            for i in range(17):
+                const[w, i] = (cv >> (16 * i)) & 0xFFFF
+            nf = nu = 0
+            for src, idx, ng in vars_:
+                if src == FIELD_SRC:
+                    f_idx[w, nf] = idx
+                    f_on[w, nf] = 1
+                    f_neg[w, nf] = ng
+                    nf += 1
+                else:
+                    u_col[w, nu] = idx
+                    u_on[w, nu] = 1
+                    u_neg[w, nu] = ng
+                    nu += 1
+        max_f = int(f_on.sum(axis=0).astype(bool).sum()) if n else 0
+        max_u = int(u_on.sum(axis=0).astype(bool).sum()) if n else 0
+        any_const = bool(const.any())
+        return {
+            "const": jax.device_put(const),
+            "any_const": any_const,
+            "f_idx": jax.device_put(f_idx),
+            "f_on": jax.device_put(f_on[:, :, None]),
+            "f_neg": jax.device_put(f_neg[:, :, None]),
+            "max_f": max_f,
+            "u_col": jax.device_put(u_col),
+            "u_on": jax.device_put(u_on[:, :, None]),
+            "u_neg": jax.device_put(u_neg[:, :, None]),
+            "max_u": max_u,
+        }
+
+    lin_spec = [_operand_spec(cls["lin"], oi) for oi in range(2)]
+    mul_spec = [_operand_spec(cls["mul"], oi) for oi in range(3)]
+
+    def _neg17_const(x, const_limbs):
+        """const − x with borrow (x ≤ const value; 17-limb planes)."""
+        outs = []
+        borrow = None
+        for i in range(17):
+            d = jnp.uint32(const_limbs[i]) - x[..., i]
+            if borrow is not None:
+                d = d - borrow
+            borrow = d >> 31
+            outs.append(d & 0xFFFF)
+        return jnp.stack(outs, axis=-1)
+
+    def _carry17(x):
+        outs = []
+        carry = None
+        for i in range(17):
+            tot = x[..., i] if carry is None else x[..., i] + carry
+            outs.append(tot & 0xFFFF)
+            carry = tot >> 16
+        return jnp.stack(outs, axis=-1)
+
+    def _assemble(spec, vals, flimbs):
+        """[B, n, 17] semi-reduced operand (< 4p; 16-bit limbs)."""
+        n = spec["const"].shape[0]
+        B = vals.shape[0]
+        acc = jnp.broadcast_to(
+            spec["const"][None], (B, n, 17)
+        ).astype(jnp.uint32)
+        for t in range(spec["max_f"]):
+            x16 = flimbs[:, spec["f_idx"][:, t]]  # [B, n, 16]
+            x = jnp.concatenate(
+                [x16, jnp.zeros(x16.shape[:-1] + (1,), jnp.uint32)],
+                axis=-1,
+            )
+            term = jnp.where(
+                spec["f_neg"][None, :, t] == 1, _neg17_const(x, p17), x
+            )
+            acc = acc + jnp.where(
+                spec["f_on"][None, :, t] == 1, term, jnp.uint32(0)
+            )
+        for t in range(spec["max_u"]):
+            v = vals[:, spec["u_col"][:, t]]  # [B, n]
+            x = jnp.zeros(v.shape + (17,), jnp.uint32)
+            x = x.at[..., 0].set(v & 0xFFFF)
+            x = x.at[..., 1].set(v >> 16)
+            term = jnp.where(
+                spec["u_neg"][None, :, t] == 1, _neg17_const(x, p17), x
+            )
+            acc = acc + jnp.where(
+                spec["u_on"][None, :, t] == 1, term, jnp.uint32(0)
+            )
+        return _carry17(acc)
+
+    def _mont_zero_test(d, m_limbs, max_limbs, pinv_limbs):
+        """d [..., L] (16-bit limbs, value a multiple of p iff the row
+        holds, quotient < 2^(16·m_limbs)) → bad mask [...]. Computes
+        m̂ = d·p^{-1} mod 2^(16·m_limbs) and checks d == m̂·p exactly —
+        replaces the shift-subtract canonicalization chain."""
+        # m̂ via lower-triangular limb multiply
+        mh = []
+        for i in range(m_limbs):
+            acc = None
+            for j in range(i + 1):
+                t = d[..., j] * jnp.uint32(pinv_limbs[i - j])
+                acc = t if acc is None else acc + t
+            mh.append(acc)
+        # carry-normalize m̂ to 16-bit limbs
+        m16 = []
+        carry = None
+        for i in range(m_limbs):
+            tot = mh[i] if carry is None else mh[i] + carry
+            m16.append(tot & 0xFFFF)
+            carry = tot >> 16
+        # m̂·p over max_limbs, with lo/hi split accumulation
+        pl16 = [(p >> (16 * i)) & 0xFFFF for i in range(max_limbs)]
+        acc = [None] * (max_limbs + 1)
+        for j in range(m_limbs):
+            mj = m16[j]
+            for i in range(max_limbs - j):
+                c = pl16[i]
+                if c == 0:
+                    continue
+                t = mj * jnp.uint32(c)
+                k = i + j
+                lo = t & 0xFFFF
+                hi = t >> 16
+                acc[k] = lo if acc[k] is None else acc[k] + lo
+                acc[k + 1] = hi if acc[k + 1] is None else acc[k + 1] + hi
+        bad = None
+        carry = None
+        for i in range(max_limbs):
+            tot = acc[i] if acc[i] is not None else None
+            if carry is not None:
+                tot = carry if tot is None else tot + carry
+            if tot is None:
+                limb = jnp.zeros_like(d[..., 0])
+                carry = None
+            else:
+                limb = tot & 0xFFFF
+                carry = tot >> 16
+            diff = limb != d[..., i]
+            bad = diff if bad is None else bad | diff
+        return bad
+
+    def _lin_bad(vals, flimbs):
+        """[B, n_lin] violation mask: a ≡ c (mod p) via d = a + 8p − c,
+        quotient ≤ 11 → single-limb Montgomery test."""
+        a = _assemble(lin_spec[0], vals, flimbs)  # < 4p
+        c = _assemble(lin_spec[1], vals, flimbs)
+        d = _carry17(a + _neg17_const(c, off_lin))  # a + (8p − c) < 12p
+        return _mont_zero_test(d, 1, 17, [p0inv])
+
+    mulcmp = None
+    if use_pallas and field.NUM_BITS >= 250 and n_mul:
+        from .field_pallas import TILE, make_mulcmp
+
+        mulcmp = make_mulcmp(field)
+
+    def _cond_sub(x, shift):
+        ps = [((p << shift) >> (16 * i)) & 0xFFFF for i in range(17)]
+        outs = []
+        borrow = None
+        for i in range(17):
+            d = x[..., i] - jnp.uint32(ps[i])
+            if borrow is not None:
+                d = d - borrow
+            borrow = d >> 31
+            outs.append(d & 0xFFFF)
+        diff = jnp.stack(outs, axis=-1)
+        return jnp.where((borrow == 0)[..., None], diff, x)
+
+    def _mul_bad(vals, flimbs):
+        """[B, n_mul] violation mask via the fused mul-compare kernel
+        (or canonicalize + jnp modmul off-TPU)."""
+        a = _assemble(mul_spec[0], vals, flimbs)
+        b = _assemble(mul_spec[1], vals, flimbs)
+        c = _assemble(mul_spec[2], vals, flimbs)
+        B = vals.shape[0]
+        if mulcmp is not None:
+            n = n_mul * B
+            npad = -(-n // TILE) * TILE
+
+            def lm(x):
+                flat = jnp.transpose(x, (2, 0, 1)).reshape(17, n)
+                if npad != n:
+                    flat = jnp.pad(flat, ((0, 0), (0, npad - n)))
+                return flat
+
+            return (mulcmp(lm(a), lm(b), lm(c))[:n] != 0).reshape(B, n_mul)
+
+        def canon(x):  # semi < 4p → canonical
+            x = _cond_sub(x, 1)
+            x = _cond_sub(x, 0)
+            x = _cond_sub(x, 0)
+            return x[..., :16]
+
+        lhs = be.mul(canon(a), canon(b))
+        return jnp.any(lhs != canon(c), axis=-1)
+
+    # --- pow2 integer rows ------------------------------------------------
+    pow2_rows = np.asarray([r for r, *_ in cls["pow2"]], np.int64)
+    if n_pow2:
+        # windows: enough for max coefficient·2^32 + headroom
+        e_max = max(
+            (e for _r, pa, pc in cls["pow2"] for _c, e in pa[1] + pc[1]),
+            default=0,
+        )
+        n_win = min(20, (e_max + 32 + 16) // 16 + 2)
+        # quotient bound: D < POS + OFF with OFF = p·2^34 → m < 2^36
+        off_mult = 34
+        m_limbs = 3
+        L = max(n_win, 17 + (off_mult + 15) // 16) + 1
+        off_limbs = [((p << off_mult) >> (16 * i)) & 0xFFFF for i in range(L)]
+        pinv_L = pow(p, -1, 1 << (16 * m_limbs))
+        pinv_limbs = [(pinv_L >> (16 * i)) & 0xFFFF for i in range(m_limbs)]
+
+        def _side_tables(which):
+            """Static tables for one side over all pow2 rows."""
+            u_cols, u_shift, u_win, u_row = [], [], [], []
+            f_idx, f_neg, f_row = [], [], []
+            const_limbs = np.zeros((n_pow2, L), np.uint32)
+            for w, (_r, pa, pc) in enumerate(cls["pow2"]):
+                side = pa if which == 0 else pc
+                cv, u32_terms, f_terms = side
+                for i in range(L):
+                    const_limbs[w, i] = (cv >> (16 * i)) & 0xFFFF
+                for col, e in u32_terms:
+                    u_cols.append(col)
+                    u_shift.append(e % 16)
+                    u_win.append(e // 16)
+                    u_row.append(w)
+                for fi, ng in f_terms:
+                    f_idx.append(fi)
+                    f_neg.append(ng)
+                    f_row.append(w)
+            return {
+                "const": const_limbs,
+                "u": (
+                    np.asarray(u_cols, np.int32),
+                    np.asarray(u_shift, np.int32),
+                    np.asarray(u_win, np.int32),
+                    np.asarray(u_row, np.int32),
+                ),
+                "f": (
+                    np.asarray(f_idx, np.int32),
+                    np.asarray(f_neg, np.uint32),
+                    np.asarray(f_row, np.int32),
+                ),
+            }
+
+        side_a = _side_tables(0)
+        side_c = _side_tables(1)
+
+        def _side_sum(tab, vals, flimbs, B):
+            """Exact integer Σ const + Σ 2^e·u32 + Σ field as
+            [B, n_pow2, L] window sums (unnormalized u32 windows)."""
+            acc = jnp.broadcast_to(
+                jnp.asarray(tab["const"])[None], (B, n_pow2, L)
+            ).astype(jnp.uint32)
+            u_cols, u_shift, u_win, u_row = tab["u"]
+            if len(u_cols):
+                v = vals[:, u_cols]  # [B, T]
+                sh = jnp.asarray(u_shift, jnp.uint32)
+                pieces = [
+                    (v << sh) & jnp.uint32(0xFFFF),
+                    jnp.where(
+                        sh > 0, v >> (16 - sh), v >> 16
+                    )
+                    & jnp.uint32(0xFFFF),
+                    jnp.where(sh > 0, v >> (32 - sh), jnp.uint32(0)),
+                ]
+                flat = jnp.stack(pieces, axis=-1)  # [B, T, 3]
+                tgt = (
+                    np.asarray(u_row)[:, None] * L
+                    + np.asarray(u_win)[:, None]
+                    + np.arange(3)[None, :]
+                ).reshape(-1)
+                acc = acc.reshape(B, n_pow2 * L).at[:, tgt].add(
+                    flat.reshape(B, -1)
+                ).reshape(B, n_pow2, L)
+            f_idx, f_neg, f_row = tab["f"]
+            for t in range(len(f_idx)):
+                x16 = flimbs[:, f_idx[t]]  # [B, 16]
+                x = jnp.pad(x16, ((0, 0), (0, L - 16)))
+                if f_neg[t]:
+                    x = _neg17_const(
+                        jnp.pad(x16, ((0, 0), (0, 1))), p17
+                    )
+                    x = jnp.pad(x, ((0, 0), (0, L - 17)))
+                acc = acc.at[:, f_row[t]].add(x)
+            return acc
+
+        def _carryL(x):
+            outs = []
+            carry = None
+            for i in range(L):
+                tot = x[..., i] if carry is None else x[..., i] + carry
+                outs.append(tot & 0xFFFF)
+                carry = tot >> 16
+            return jnp.stack(outs, axis=-1)
+
+        def _pow2_bad(vals, flimbs):
+            B = vals.shape[0]
+            pos = _side_sum(side_a, vals, flimbs, B)
+            neg = _carryL(_side_sum(side_c, vals, flimbs, B))
+            # d = pos + (p·2^34 − neg): borrow-free constant subtract
+            outs = []
+            borrow = None
+            for i in range(L):
+                d = jnp.uint32(off_limbs[i]) - neg[..., i]
+                if borrow is not None:
+                    d = d - borrow
+                borrow = d >> 31
+                outs.append(d & 0xFFFF)
+            d = _carryL(pos + jnp.stack(outs, axis=-1))
+            return _mont_zero_test(d, m_limbs, L, pinv_limbs)
+
+    # --- fallback rows ----------------------------------------------------
+    rest_viol = None
+    if n_rest:
+        sub = _sub_rows_r1cs(template, rest_rows)
+        used = np.unique(
+            np.concatenate(
+                [np.asarray(getattr(sub, n).cols) for n in ("a", "b", "c")]
+                + [np.zeros(1, np.int64)]
+            )
+        )
+        lut = np.zeros(template.num_inputs + template.num_aux, np.int64)
+        lut[used] = np.arange(len(used))
+        from ..r1cs import COOMatrix
+
+        def _remap(m):
+            return COOMatrix(
+                rows=np.asarray(m.rows),
+                cols=lut[np.asarray(m.cols)].astype(np.int32),
+                coeff_ids=np.asarray(m.coeff_ids),
+            )
+
+        sub_r = R1CS(
+            field=sub.field,
+            num_inputs=1,
+            num_aux=len(used) - 1,
+            num_constraints=sub.num_constraints,
+            a=_remap(sub.a),
+            b=_remap(sub.b),
+            c=_remap(sub.c),
+            coeff_table=list(sub.coeff_table),
+            names=None,
+        )
+        rest_viol = build_templated_check(sub_r, batch, use_pallas, "limbs")
+        fs_arr = np.full(template.num_inputs + template.num_aux, -1, np.int64)
+        for i, s in enumerate(field_slots):
+            fs_arr[int(s)] = i
+        used_fs = fs_arr[used]  # -1 → u32 source
+        used_np = used.astype(np.int32)
+        used_fidx = jax.device_put(
+            np.where(used_fs >= 0, used_fs, 0).astype(np.int32)
+        )
+        used_isf = jax.device_put((used_fs >= 0).astype(np.uint32)[:, None])
+
+        def _rest_bad(vals, flimbs):
+            B = vals.shape[0]
+            fl = flimbs[:, used_fidx]  # [B, n_used, 16]
+            v = vals[:, used_np]
+            lift = jnp.zeros(v.shape + (16,), jnp.uint32)
+            lift = lift.at[..., 0].set(v & 0xFFFF)
+            lift = lift.at[..., 1].set(v >> 16)
+            z3u = jnp.where(used_isf[None] == 1, fl, lift)
+            return rest_viol(z3u).reshape(B, n_rest)
+
+    order_rows = np.concatenate(
+        [
+            np.asarray([r for r, _c in cls["bool_u32"]], np.int64),
+            np.asarray([r for r, *_ in cls["lin"]], np.int64),
+            np.asarray([r for r, *_ in cls["mul"]], np.int64),
+            pow2_rows,
+            rest_rows,
+        ]
+    )
+    inv = np.empty(R, np.int32)
+    inv[order_rows] = np.arange(R, dtype=np.int32)
+    inv_d = jax.device_put(inv)
+
+    def violations(vals, flimbs):
+        B = vals.shape[0]
+        assert flimbs.shape[1] >= F or not field_slots
+        parts = []
+        if n_bool:
+            parts.append(vals[:, bool_cols] > 1)  # [B, n_bool]
+        if n_lin:
+            parts.append(_lin_bad(vals, flimbs))
+        if n_mul:
+            parts.append(_mul_bad(vals, flimbs))
+        if n_pow2:
+            parts.append(_pow2_bad(vals, flimbs))
+        if rest_viol is not None:
+            parts.append(_rest_bad(vals, flimbs))
+        comb = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        return jnp.take(comb, inv_d, axis=1).reshape(B * R)
+
+    return violations
+
+
 _PACKED_BLK_W = 16  # unpack/compute block: 16 words = 512 instances
 
 
@@ -2070,6 +2658,7 @@ def build_templated_check(
     witness_form: str = "limbs",
     _partition: bool = True,
     _slot_major: bool = False,
+    field_slots=None,
 ):
     """Core of the templated satisfiability check (see TemplatedSatisfier).
 
@@ -2088,6 +2677,13 @@ def build_templated_check(
         move packed words (32× less traffic per instance than "bits"),
         small rows unpack in-register inside the int32 compare, and big
         rows unpack per 512-instance block into the fused kernels.
+      * "mixed" — z given as (vals uint32[B, S_t], flimbs
+        uint32[B, F, 16]): u32-domain slots stay 4-byte values, field
+        slots live in the limb sidecar (requires `field_slots`, mapping
+        flimbs row i → slot). The check form for field-bearing circuits:
+        booleanity → u32 compare, additions → Montgomery zero-test,
+        products → fused mul-compare, multipack/MultiEq rows → exact
+        integer window sums (see _build_mixed_check).
 
     DOMAIN CONTRACT (bits / bits_packed): these forms verify a
     BIT-VALUED witness domain — every z slot must be 0 or 1. "bits"
@@ -2125,6 +2721,15 @@ def build_templated_check(
         return violations_empty
 
     Rt0 = template.num_constraints
+    if witness_form == "mixed":
+        # u32 buffer + field-limb sidecar (WitnessProgram.build output):
+        # violations(vals [B, S_t], flimbs [B, F, 16]). Same canonical
+        # domain contract as "limbs" for field rows; u32 slots < 2^32.
+        if field_slots is None:
+            raise ValueError(
+                "witness_form='mixed' needs field_slots (flimbs row → slot)"
+            )
+        return _build_mixed_check(template, batch, use_pallas, field_slots)
     if witness_form == "bits_packed":
         return _build_packed_bits_check(template, batch, use_pallas, _partition)
     if witness_form == "bits" and Rt0 and _partition:

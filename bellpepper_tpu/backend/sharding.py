@@ -193,6 +193,84 @@ def sharded_witness_and_check(
     return step, NamedSharding(mesh, P(axis))
 
 
+def sharded_packed_witness_and_check(
+    prog,
+    template: R1CS,
+    batch: int,
+    mesh: Mesh,
+    use_pallas: bool | None = None,
+    axis: str = "data",
+):
+    """The BIT-SLICED production step over a device mesh: packed free
+    bits → packed witness generation (WitnessProgram.build_packed, 32
+    instances per uint32 word) → bits_packed reduced verdict, with the
+    violation count psum-reduced and the first violating flat index
+    pmin-reduced over ICI. This is the multi-device program of the
+    flagship headline path (the same seam as sharded_witness_and_check —
+    constraint_system.rs:134-148 — at 1/32nd the witness HBM traffic).
+
+    The instance batch shards along the packed-word axis: free_packed is
+    uint32[batch/32, n_free] (pack_bits layout: bit j of word w =
+    instance 32·w + j), so each device holds a contiguous instance
+    range and the merge order is deterministic — sharded == sequential
+    (extend associativity).
+
+    Returns (step_fn, in_sharding): step_fn(free_packed) →
+    (total_violations, first_flat, vals_packed) where first_flat is the
+    GLOBAL instance-major flat index (instance·Rt + row; sentinel
+    0xFFFFFFFF when satisfied) and vals_packed is the sharded
+    [batch/32, S_t] packed witness."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n_dev = mesh.devices.size
+    local_b = batch // n_dev
+    assert batch % n_dev == 0 and local_b % 512 == 0, (
+        "packed sharding needs batch divisible by n_dev with >= 512 "
+        "instances (16 packed words) per device"
+    )
+    Rt = template.num_constraints
+    violations = build_templated_check(
+        template, local_b, use_pallas, "bits_packed"
+    )
+    verdict = getattr(violations, "verdict", None)
+    evaluator = prog.build_packed()
+    sentinel = jnp.uint32(0xFFFFFFFF)
+
+    from jax import shard_map
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=(P(), P(), P(axis)),
+        check_vma=False,  # pallas_call outputs carry no vma info
+    )
+    def step_local(free_packed_local):
+        vals_p = evaluator(free_packed_local)  # [local_b/32, S_t]
+        if verdict is not None:
+            nb, first = verdict(vals_p)
+        else:
+            bad = violations(vals_p)
+            nb = jnp.sum(bad.astype(jnp.uint32))
+            first = jnp.where(
+                nb > 0, jnp.argmax(bad).astype(jnp.uint32), sentinel
+            )
+        shard = jax.lax.axis_index(axis).astype(jnp.uint32)
+        first = jnp.where(
+            nb > 0, first + shard * jnp.uint32(local_b * Rt), sentinel
+        )
+        total = jax.lax.psum(nb, axis)
+        gfirst = jax.lax.pmin(first, axis)
+        return total[None], gfirst[None], vals_p
+
+    @jax.jit
+    def step(free_packed):
+        nb, first, vals = step_local(free_packed)
+        return nb[0], first[0], vals
+
+    return step, NamedSharding(mesh, P(axis))
+
+
 class RowShardedSatisfier:
     """Constraint-axis sharding for ONE huge (non-templated) R1CS —
     BASELINE config 5. Rows are partitioned into contiguous ranges, one

@@ -115,11 +115,24 @@ def build_production_step(
         use_pallas = jax.default_backend() == "tpu"
     pure_bits = prog.is_pure_bits
     if witness_form is None:
-        witness_form = "bits" if pure_bits else "limbs"
-    violations = build_templated_check(template, batch, use_pallas, witness_form)
+        # Field-bearing templates default to the MIXED form: the check
+        # consumes the evaluator's (vals, flimbs) buffers directly — no
+        # [B, S_t, 16] limb materialization, no slot-major transpose
+        # (those relayouts measured 5-10× the mul-compare kernel time
+        # on config 1).
+        witness_form = "bits" if pure_bits else "mixed"
+    field_slots = None
+    if witness_form == "mixed":
+        field_slots = sorted(
+            prog.field_rows, key=prog.field_rows.get
+        ) + list(prog.free_field_slots)
+    violations = build_templated_check(
+        template, batch, use_pallas, witness_form, field_slots=field_slots
+    )
     evaluator = prog.build(use_pallas)
     span = batch * template.num_constraints
     n_free_field = max(len(prog.free_field_slots), 1)
+    n_fr = prog.n_field_rows
 
     @jax.jit
     def step(free_bits, free_field=None):
@@ -132,10 +145,21 @@ def build_production_step(
             fb, ff = xs
             vals, flimbs = evaluator(fb, ff)
             if pure_bits and witness_form == "bits":
-                z = vals
+                bad = violations(vals)
+            elif witness_form == "mixed":
+                if prog.free_field_slots:
+                    fl = jnp.concatenate(
+                        [
+                            flimbs[:, :n_fr],
+                            ff[:, : len(prog.free_field_slots)],
+                        ],
+                        axis=1,
+                    )
+                else:
+                    fl = flimbs
+                bad = violations(vals, fl)
             else:
-                z = prog.z_template_limbs(vals, flimbs, ff)
-            bad = violations(z)
+                bad = violations(prog.z_template_limbs(vals, flimbs, ff))
             nb = jnp.sum(bad.astype(jnp.uint32))
             first = jnp.argmax(bad).astype(jnp.uint32)
             return carry, (nb, first)

@@ -161,6 +161,70 @@ def main():
         )
     )
 
+    # --- PACKED (bit-sliced) path weak scaling: the flagship headline
+    # path's multi-device program — build_packed witness generation +
+    # bits_packed reduced verdict under shard_map (psum/pmin over ICI).
+    from jax.sharding import Mesh
+
+    from bellpepper_tpu.backend.sharding import (
+        sharded_packed_witness_and_check,
+    )
+    from bellpepper_tpu.compile.witness_program import pack_bits
+
+    assert prog.is_packable
+    per_dev_bp = 2048  # instances per device (multiple of 512)
+    rows_p = []
+    base_p = None
+    n = 1
+    while n <= max_dev:
+        mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+        B = per_dev_bp * n
+        step, in_sharding = sharded_packed_witness_and_check(
+            prog, template, B, mesh, use_pallas=use_tpu
+        )
+        free = rng.integers(
+            0, 2, size=(B, len(prog.free_slots))
+        ).astype(np.uint32)
+        fp = jax.device_put(pack_bits(jnp.asarray(free)), in_sharding)
+        n_bad, _f, _v = step(fp)
+        assert int(n_bad) == 0
+        reps = 10
+        t0 = time.time()
+        nbs = []
+        for _ in range(reps):
+            nb, _f, _v = step(fp)
+            nbs.append(nb)
+        jax.block_until_ready(nbs[-1])
+        dt = (time.time() - t0) / reps
+        assert sum(int(x) for x in nbs) == 0
+        thr = B * template.num_constraints / dt
+        if base_p is None:
+            base_p = thr
+        rows_p.append(
+            {
+                "devices": n,
+                "constraints_per_s": round(thr, 1),
+                "efficiency_pct": round(100 * thr / (base_p * n), 1),
+            }
+        )
+        n *= 2
+
+    print(
+        json.dumps(
+            {
+                "metric": "packed (bit-sliced) sharded step weak scaling",
+                "value": rows_p[-1]["constraints_per_s"],
+                "unit": "constraints/s",
+                "detail": {
+                    "platform": jax.default_backend(),
+                    "per_device_batch": per_dev_bp,
+                    "witness_layout": "bit-sliced packed (32 inst/word)",
+                    "table": rows_p,
+                },
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     main()
