@@ -179,13 +179,15 @@ def build_row_chunked_eval(
             m = getattr(r, name)
             cids = np.asarray(m.coeff_ids)
             cols = np.asarray(m.cols)
-            sel = nontrivial[cids]
-            if not sel.any():
-                continue
-            mx = np.full(n_table, -1, np.int64)
-            np.maximum.at(mx, cids[sel], cols[sel].astype(np.int64))
-            for k in np.nonzero(mx >= 0)[0]:
-                span[int(k)] = max(span.get(int(k), 0), int(mx[k]) + 1)
+            # per-coefficient max column: one masked max per nontrivial
+            # table entry (the table is tiny; np.maximum.at on tens of
+            # millions of entries was the slow alternative)
+            for k in np.nonzero(nontrivial)[0]:
+                sel_k = cids == k
+                if not sel_k.any():
+                    continue
+                mx_k = int(cols[sel_k].max())
+                span[int(k)] = max(span.get(int(k), 0), mx_k + 1)
     sum_span = sum(span.values())
     if premul_table is None:
         premul_table = (
@@ -203,10 +205,18 @@ def build_row_chunked_eval(
     full_names = set()  # mask all-ones: the pad-zeroing multiply is a no-op
     for name in names:
         m = getattr(r, name)
-        _assert_row_density(m.rows, R_, f"matrix {name}")
         rows_np = np.asarray(m.rows)
-        degrees = np.bincount(rows_np, minlength=R_)
+        degrees = (
+            np.bincount(rows_np, minlength=R_)
+            if len(rows_np)
+            else np.zeros(R_, np.int64)
+        )
         deg = max(int(degrees.max()) if R_ else 0, 1)
+        if deg > MAX_ROW_NNZ:
+            raise ValueError(
+                f"matrix {name}: a row has {deg} entries; the digit "
+                f"accumulation is exact only up to {MAX_ROW_NNZ} per row"
+            )
         n_entries = len(rows_np)
         # ELL mode: entries laid out [row, slot] so the per-row sum is a
         # dense reshape-sum — XLA's scatter-add (segment_sum) is ~70×
@@ -215,19 +225,40 @@ def build_row_chunked_eval(
         use_ell = deg * R_ <= max(2 * n_entries, R_ * 4)
         if use_ell:
             ell_deg[name] = deg
-            order = np.lexsort((np.arange(n_entries), rows_np))
-            rows_s = rows_np[order]
-            slot = np.arange(n_entries) - np.repeat(
-                np.concatenate(([0], np.cumsum(degrees)[:-1])), degrees
-            )
-            pos = rows_s * deg + slot  # dense ELL position of each entry
             e_max = rpc * deg
-            flat_cols = np.zeros(R_ * deg, np.int32)
-            flat_cids = np.zeros(R_ * deg, np.int32)
-            flat_mask = np.zeros(R_ * deg, np.uint32)
-            flat_cols[pos] = np.asarray(m.cols)[order]
-            flat_cids[pos] = np.asarray(m.coeff_ids)[order]
-            flat_mask[pos] = 1
+            # Uniform-degree row-sorted entries (the common shape from
+            # gadget and synthetic builders) ARE the dense ELL layout
+            # already — skip the lexsort + position scatter entirely
+            # (several seconds of 33M-entry passes at 2^24 rows).
+            sorted_rows = n_entries == 0 or bool(
+                (rows_np[1:] >= rows_np[:-1]).all()
+            )
+            uniform = sorted_rows and n_entries == R_ * deg
+            if uniform:
+                flat_cols = np.ascontiguousarray(m.cols, np.int32)
+                flat_cids = np.ascontiguousarray(m.coeff_ids, np.int32)
+                flat_mask = np.ones(R_ * deg, np.uint32)
+            else:
+                if sorted_rows:
+                    order = None
+                    rows_s = rows_np
+                else:
+                    order = np.lexsort((np.arange(n_entries), rows_np))
+                    rows_s = rows_np[order]
+                ptr = np.zeros(R_ + 1, np.int64)
+                np.cumsum(degrees, out=ptr[1:])
+                slot = np.arange(n_entries) - ptr[rows_s]
+                pos = rows_s * deg + slot  # dense ELL position per entry
+                flat_cols = np.zeros(R_ * deg, np.int32)
+                flat_cids = np.zeros(R_ * deg, np.int32)
+                flat_mask = np.zeros(R_ * deg, np.uint32)
+                if order is None:
+                    flat_cols[pos] = np.asarray(m.cols)
+                    flat_cids[pos] = np.asarray(m.coeff_ids)
+                else:
+                    flat_cols[pos] = np.asarray(m.cols)[order]
+                    flat_cids[pos] = np.asarray(m.coeff_ids)[order]
+                flat_mask[pos] = 1
             cols_p = flat_cols.reshape(n_chunks, e_max)
             cids_p = flat_cids.reshape(n_chunks, e_max)
             mask_p = flat_mask.reshape(n_chunks, e_max)
@@ -236,12 +267,13 @@ def build_row_chunked_eval(
             # aux segment, cols = base + row): the per-entry gather — the
             # dominant cost at ~30 ns/index — collapses to one
             # dynamic_slice per chunk.
-            used_cids = np.unique(flat_cids[flat_mask == 1])
             if (
                 R_ > 0
                 and deg == 1
                 and bool(flat_mask.all())
-                and all(coeff_vals[int(k)] == 1 for k in used_cids)
+                and all(
+                    coeff_vals[int(k)] == 1 for k in np.unique(flat_cids)
+                )
                 and bool(
                     np.array_equal(
                         flat_cols,
@@ -284,17 +316,26 @@ def build_row_chunked_eval(
             # non-trivial → its premul slice. One lookup-table pass; the
             # raw cols/cids are never read on device in premul mode, so
             # they are not uploaded (at 2^24 entries they would pin
-            # ~130 MB of dead HBM per matrix).
-            off_lut = np.zeros(n_table, np.int64)
+            # ~130 MB of dead HBM per matrix). int32 throughout (the
+            # source buffer is < 2^31 rows — asserted below); int64
+            # temporaries double the memory passes at 33M entries.
+            assert cursor < (1 << 31)
+            off_lut = np.zeros(n_table, np.int32)
             for k in span:
                 off_lut[k] = offset[k]
-            is_zero = np.asarray([cv == 0 for cv in coeff_vals])
-            src_p = (cols_p.astype(np.int64) + off_lut[cids_p]).astype(
-                np.int32
-            )
-            mask_p = mask_p.copy()
-            mask_p[is_zero[cids_p]] = 0
-            src_p[mask_p == 0] = 0
+            src_p = cols_p + off_lut[cids_p]
+            zero_ids = [k for k, cv in enumerate(coeff_vals) if cv == 0]
+            has_pad = not bool(mask_p.all())
+            has_zero = bool(
+                np.isin(np.asarray(zero_ids, np.int32), cids_p).any()
+            ) if zero_ids else False
+            if has_zero:
+                is_zero = np.asarray([cv == 0 for cv in coeff_vals])
+                mask_p = mask_p.copy()
+                mask_p[is_zero[cids_p]] = 0
+                has_pad = True
+            if has_pad:
+                src_p[mask_p == 0] = 0
             entry["src"] = jax.device_put(src_p)
             entry["mask"] = jax.device_put(mask_p)
         else:
@@ -2345,6 +2386,251 @@ def _family_bad(kind, X):
     raise AssertionError(kind)
 
 
+def _build_packed_field_check(template: R1CS, batch: int, use_pallas: bool,
+                              _partition: bool, field_slots):
+    """bits_packed check WITH a field-limb sidecar (the mixed packed
+    layout): bit slots ride the packed-word machinery; rows binding a
+    field slot must be of the multipack shape (multipack.rs:76-105)
+    `Σ 2^i·b_i · ONE = field_out` and are checked as bit-sliced integer
+    equality between the bit side's CSA/Kogge-Stone sum and the field
+    value's bit planes. All other rows recurse into the pure packed
+    check on the field-row-free sub-template.
+
+    Returns violations(vals_bm [Bw, S_t], flimbs [B, F, 16]) with a
+    .verdict(vals_bm, flimbs) → (n_bad, first_flat) companion."""
+    p_ = template.field.p
+    R = template.num_constraints
+    Bw = batch // 32
+    fs_row = {int(s): i for i, s in enumerate(field_slots)}
+    tb = [int(c) % p_ for c in template.coeff_table]
+    terms = {}
+    for name in ("a", "b", "c"):
+        m = getattr(template, name)
+        rows = np.asarray(m.rows)
+        cols = np.asarray(m.cols)
+        cids = np.asarray(m.coeff_ids)
+        lst = [[] for _ in range(R)]
+        for e in range(len(rows)):
+            lst[int(rows[e])].append((tb[int(cids[e])], int(cols[e])))
+        terms[name] = lst
+
+    def bit_side(ts):
+        out = []
+        total = 0
+        for cf, col in ts:
+            if col in fs_row or cf == 0:
+                return None
+            total += cf
+            e = 0
+            while cf:
+                if cf & 1:
+                    out.append((e, col))
+                cf >>= 1
+                e += 1
+        if total >= p_:
+            return None
+        return out
+
+    packfield = []  # (row, [(e, col)], fs_idx)
+    remaining = []
+    for r in range(R):
+        touches = any(
+            col in fs_row for nm in ("a", "b", "c") for _cf, col in terms[nm][r]
+        )
+        if not touches:
+            remaining.append(r)
+            continue
+        B_ = [(cf, col) for cf, col in terms["b"][r] if cf != 0]
+        C_ = [(cf, col) for cf, col in terms["c"][r] if cf != 0]
+        sa = bit_side(terms["a"][r])
+        if (
+            B_ == [(1, 0)]
+            and len(C_) == 1
+            and C_[0][0] == 1
+            and C_[0][1] in fs_row
+            and sa is not None
+        ):
+            packfield.append((r, sa, fs_row[C_[0][1]]))
+            continue
+        raise NotImplementedError(
+            f"packed field sidecar: row {r} binds a field slot but is "
+            "not of the multipack shape; use the mixed or limbs form"
+        )
+    n_pf = len(packfield)
+    remaining = np.asarray(remaining, np.int64)
+    Rt_sub = len(remaining)
+    inner = _build_packed_bits_check(
+        _sub_rows_r1cs(template, remaining), batch, use_pallas, _partition
+    )
+    inner_verdict = getattr(inner, "verdict", None)
+    remaining_d = jax.device_put(remaining.astype(np.uint32))
+
+    # Static ELL planes for the bit sides (shared with the pow2 code).
+    e_max = max((e for _r, sa, _f in packfield for e, _c in sa), default=0)
+    cnts = []
+    for _r, sa, _f in packfield:
+        cnt = defaultdict(int)
+        for e, _c in sa:
+            cnt[e] += 1
+        cnts.append(max(cnt.values(), default=1))
+    m_a = max(cnts, default=1)
+    # the compare must cover EVERY bit of the field value (< 2^NUM_BITS)
+    n_pos = min(
+        256,
+        max(
+            e_max + 1 + (m_a + 1).bit_length() + 1,
+            template.field.NUM_BITS,
+        ),
+    )
+    a_cols = np.zeros((n_pf, n_pos, m_a), np.int32)
+    a_mask = np.zeros((n_pf, n_pos, m_a), np.uint32)
+    for i, (_r, sa, _f) in enumerate(packfield):
+        cnt = defaultdict(int)
+        for e, col in sa:
+            k = cnt[e]
+            cnt[e] += 1
+            a_cols[i, e, k] = col
+            a_mask[i, e, k] = 0xFFFFFFFF
+    pf_rows = np.asarray([r for r, _sa, _f in packfield], np.int64)
+    pf_fidx = np.asarray([f for _r, _sa, f in packfield], np.int32)
+    spec_a = {"n_pos": n_pos, "a_cols": a_cols, "a_mask": a_mask}
+
+    sh32 = np.arange(32, dtype=np.uint32)
+
+    def _field_bit_planes(flimbs):
+        """[n_pf, n_pos, Bw]: bit e of each instance's field value,
+        packed 32 instances/word (pack_bits layout)."""
+        fl = flimbs[:, pf_fidx]  # [B, n_pf, 16]
+        planes = []
+        for e in range(n_pos):
+            limb, off = divmod(e, 16)
+            if limb >= 16:
+                planes.append(jnp.zeros((n_pf, Bw), jnp.uint32))
+                continue
+            bits = (fl[:, :, limb] >> off) & jnp.uint32(1)  # [B, n_pf]
+            words = jnp.sum(
+                bits.T.reshape(n_pf, Bw, 32) << sh32,
+                axis=-1,
+                dtype=jnp.uint32,
+            )
+            planes.append(words)
+        return jnp.stack(planes, axis=1)  # [n_pf, n_pos, Bw]
+
+    def _pf_bad_words(vals_p, flimbs):
+        """[n_pf, Bw] bad words: bit-side integer sum != field bits."""
+        # resolved bit planes of the A side (CSA + Kogge-Stone), via the
+        # pow2 machinery's side() on a single-side spec
+        lhs = _pow2_side_sum_bits(vals_p, spec_a)  # [n_pos, n_pf, Bw]
+        rhs = jnp.transpose(_field_bit_planes(flimbs), (1, 0, 2))
+        diff = lhs ^ rhs
+        return jax.lax.reduce(
+            diff, np.uint32(0), jax.lax.bitwise_or, (0,)
+        )
+
+    inv = np.empty(R, np.int32)
+    inv[np.concatenate([remaining, pf_rows])] = np.arange(R, dtype=np.int32)
+    inv_d = jax.device_put(inv)
+    _SENT = np.uint32(0xFFFFFFFF)
+
+    def _ctz32(w):
+        neg = jnp.uint32(0) - w
+        return jax.lax.population_count((w & neg) - jnp.uint32(1))
+
+    def violations(vals_bm, flimbs):
+        B = batch
+        m_in = inner(vals_bm).reshape(B, Rt_sub)
+        parts = [m_in]
+        if n_pf:
+            words = _pf_bad_words(vals_bm.T, flimbs)  # [n_pf, Bw]
+            bits = ((words[:, :, None] >> sh32) & np.uint32(1)).reshape(
+                n_pf, B
+            )
+            parts.append((bits != 0).T)
+        comb = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        return jnp.take(comb, inv_d, axis=1).reshape(B * R)
+
+    def verdict(vals_bm, flimbs):
+        if inner_verdict is not None:
+            nb, first = inner_verdict(vals_bm)
+            # remap the sub-template row back to the original index;
+            # min-by-(instance, row) is preserved because `remaining`
+            # is ascending
+            inst = first // np.uint32(max(Rt_sub, 1))
+            row = first % np.uint32(max(Rt_sub, 1))
+            first = jnp.where(
+                first == _SENT,
+                _SENT,
+                inst * np.uint32(R) + remaining_d[jnp.minimum(row, Rt_sub - 1)],
+            )
+        else:
+            bad = inner(vals_bm)  # [B·Rt_sub] instance-major, sub rows
+            nb = jnp.sum(bad.astype(jnp.uint32))
+            flat_sub = jnp.argmax(bad).astype(jnp.uint32)
+            inst = flat_sub // np.uint32(max(Rt_sub, 1))
+            row = flat_sub % np.uint32(max(Rt_sub, 1))
+            first = jnp.where(
+                nb > 0,
+                inst * np.uint32(R)
+                + remaining_d[jnp.minimum(row, max(Rt_sub - 1, 0))],
+                _SENT,
+            )
+        if n_pf:
+            words = _pf_bad_words(vals_bm.T, flimbs)
+            nb = nb + jnp.sum(
+                jax.lax.population_count(words), dtype=jnp.uint32
+            )
+            winst = jnp.arange(Bw, dtype=jnp.uint32)[None, :] * jnp.uint32(32)
+            cand = jnp.where(
+                words != 0,
+                (winst + _ctz32(words)) * np.uint32(R)
+                + pf_rows.astype(np.uint32)[:, None],
+                _SENT,
+            )
+            first = jnp.minimum(first, jnp.min(cand))
+        return nb, first
+
+    violations.verdict = verdict
+    return violations
+
+
+def _pow2_side_sum_bits(vals_p, spec):
+    """Resolved bit planes [n_pos, n, Bw] of Σ 2^e·bit for one ELL side
+    (the CSA + Kogge-Stone sum from _pow2_eq_bad_words, single side)."""
+    n_pos = spec["n_pos"]
+
+    def sh(x, d=1):
+        return jnp.pad(x, ((d, 0), (0, 0), (0, 0)))[:n_pos]
+
+    cols = spec["a_cols"]
+    mask = spec["a_mask"]
+    m = cols.shape[2]
+    g = vals_p[cols.reshape(-1)].reshape(cols.shape + (-1,))
+    g = g & mask[..., None]
+    g = jnp.transpose(g, (1, 0, 2, 3))  # [n_pos, n, M, Bw]
+    addends = [g[:, :, k] for k in range(m)]
+    while len(addends) > 2:
+        nxt = []
+        for i in range(0, len(addends) - 2, 3):
+            a1, b1, c1 = addends[i : i + 3]
+            nxt.append(a1 ^ b1 ^ c1)
+            nxt.append(sh((a1 & b1) | (c1 & (a1 ^ b1))))
+        rem = len(addends) % 3
+        if rem:
+            nxt.extend(addends[-rem:])
+        addends = nxt
+    if len(addends) == 1:
+        return addends[0]
+    a1, b1 = addends
+    g_ = a1 & b1
+    p_ = a1 ^ b1
+    gk, pk, d = g_, p_, 1
+    while d < n_pos:
+        gk = gk | (pk & sh(gk, d))
+        pk = pk & sh(pk, d)
+        d *= 2
+    return p_ ^ sh(gk)
+
+
 def _build_packed_bits_check(template: R1CS, batch: int, use_pallas: bool,
                              _partition: bool):
     """bits_packed templated check: z as uint32[batch/32, S_t] bit-sliced
@@ -2731,6 +3017,10 @@ def build_templated_check(
             )
         return _build_mixed_check(template, batch, use_pallas, field_slots)
     if witness_form == "bits_packed":
+        if field_slots:
+            return _build_packed_field_check(
+                template, batch, use_pallas, _partition, field_slots
+            )
         return _build_packed_bits_check(template, batch, use_pallas, _partition)
     if witness_form == "bits" and Rt0 and _partition:
         part = _classify_small_rows(template)

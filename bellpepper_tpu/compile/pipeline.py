@@ -184,16 +184,26 @@ def build_packed_production_step(
 
     free_packed: uint32[n_chunks, batch/32, n_free], bit j of word w =
     instance 32·w + j (pack_bits layout). batch must be a multiple of
-    512 (the check's unpack-block size)."""
+    512 (the check's unpack-block size).
+
+    Templates with field-valued `pack` outputs (multipack.rs:76-105)
+    take the MIXED packed path automatically: bit slots stay 32
+    instances/word, pack outputs ride an unpacked limb sidecar, and the
+    pack rows check as bit-sliced integer equality against the field
+    value's bit planes (see matvec._build_packed_field_check)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    mixed = not prog.is_packable and prog.is_packable_mixed
+    field_slots = (
+        sorted(prog.field_rows, key=prog.field_rows.get) if mixed else None
+    )
     violations = build_templated_check(
-        template, batch, use_pallas, "bits_packed"
+        template, batch, use_pallas, "bits_packed", field_slots=field_slots
     )
     # Reduced verdict skips the instance-major mask materialization
     # (transpose + minor-axis take ~2x the compare cost).
     verdict = getattr(violations, "verdict", None)
-    evaluator = prog.build_packed()
+    evaluator = prog.build_packed_mixed() if mixed else prog.build_packed()
     span = batch * template.num_constraints
 
     @jax.jit
@@ -201,12 +211,17 @@ def build_packed_production_step(
         assert free_packed.shape[1] == batch // 32
 
         def body(carry, fp):
-            vals_p = evaluator(fp)  # [batch/32, S_t] batch-major packed
+            if mixed:
+                vals_p, flimbs = evaluator(fp)
+                args = (vals_p, flimbs)
+            else:
+                vals_p = evaluator(fp)  # [batch/32, S_t] packed
+                args = (vals_p,)
             if verdict is not None:
-                nb, first = verdict(vals_p)
+                nb, first = verdict(*args)
                 first = jnp.where(nb > 0, first, jnp.uint32(0))
             else:
-                bad = violations(vals_p)
+                bad = violations(*args)
                 nb = jnp.sum(bad.astype(jnp.uint32))
                 first = jnp.argmax(bad).astype(jnp.uint32)
             return carry, (nb, first)

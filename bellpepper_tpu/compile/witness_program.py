@@ -315,6 +315,9 @@ class _ConstPool:
 # becomes a carry-save adder tree over bit planes.
 PACKED_OPS = {"xor", "and", "and_not", "nor", "ch", "maj", "addmany",
               "num_iszero"}
+# Opcodes the MIXED packed evaluator additionally supports: field-valued
+# outputs land in an unpacked limb sidecar (see build_packed_mixed).
+PACKED_MIXED_OPS = PACKED_OPS | {"pack"}
 
 _FULL = 0xFFFFFFFF
 
@@ -1048,6 +1051,39 @@ class WitnessProgram:
             st.opcode in PACKED_OPS for st in self.stages
         )
 
+    @property
+    def is_packable_mixed(self) -> bool:
+        """True when the program can run on the MIXED packed evaluator
+        (build_packed_mixed): bit stages packed 32/word + field-valued
+        `pack` outputs in an unpacked limb sidecar. Requires every
+        opcode in PACKED_MIXED_OPS, no free field inputs, and no stage
+        consuming a field-valued slot as a bit operand (a packed word
+        cannot hold a field value)."""
+        if self.free_field_slots:
+            return False
+        if not all(st.opcode in PACKED_MIXED_OPS for st in self.stages):
+            return False
+        field_out = self._field_out
+        for st in self.stages:
+            for k, v in st.arrs.items():
+                if k in ("a", "b", "a_idx", "b_idx", "c_idx", "idx"):
+                    if np.isin(np.asarray(v).reshape(-1), list(field_out)).any():
+                        return False
+        return True
+
+    def build_packed_mixed(self):
+        """Bit-sliced evaluator WITH a field-limb sidecar: 32 instances
+        per uint32 word for every bit slot, field-valued `pack` outputs
+        (multipack.rs:76-105) as unpacked canonical limbs.
+
+        free_packed uint32[Bw, n_free] → (vals uint32[Bw, S] packed
+        words — field-out slots hold 0 — , flimbs uint32[Bw·32, F, 16]
+        instance-major limb rows, F = n_field_rows). The packed check
+        with a field sidecar (bits_packed + field_slots) consumes this
+        pair directly."""
+        assert self.is_packable_mixed
+        return self._build_packed_impl(mixed=True)
+
     def build_packed(self):
         """Bit-sliced jitted evaluator: 32 instances per uint32 word.
 
@@ -1071,6 +1107,9 @@ class WitnessProgram:
         assert self.is_packable, (
             "program has stages outside PACKED_OPS; use build()"
         )
+        return self._build_packed_impl(mixed=False)
+
+    def _build_packed_impl(self, mixed: bool):
         stages = self.stages
         S = self.num_slots
         free_slots = np.asarray(self.free_slots, np.int64)
@@ -1092,7 +1131,16 @@ class WitnessProgram:
             if row_of_slot[s] < 0:
                 row_of_slot[s] = cursor
                 cursor += 1
-        produced = [np.asarray(st.outs).reshape(-1) for st in stages]
+        # For field-output stages (pack, mixed mode) `outs` holds FIELD
+        # ROWS; the produced slots are in arrs["out_slots"].
+        produced = [
+            np.asarray(
+                st.arrs["out_slots"]
+                if st.opcode in FIELD_OUT_OPS
+                else st.outs
+            ).reshape(-1)
+            for st in stages
+        ]
         prod_mask = np.zeros(S, bool)
         for outs_flat in produced:
             prod_mask[outs_flat] = True
@@ -1129,6 +1177,7 @@ class WitnessProgram:
         # the tunnel during MLIR lowering (~70 s/array — see _ConstPool).
         FULL = np.uint32(_FULL)
         n_free = len(free_slots)
+        F = max(self.n_field_rows, 1)
 
         def evaluate(free_packed):
             Bw = free_packed.shape[0]
@@ -1141,6 +1190,9 @@ class WitnessProgram:
                 )
             parts.append(jnp.zeros((Bw, S - n_seed), jnp.uint32))
             vals = jnp.concatenate(parts, axis=1)  # [Bw, S] permuted
+            flimbs = (
+                jnp.zeros((Bw * 32, F, 16), jnp.uint32) if mixed else None
+            )
 
             def cols(idx):
                 return vals[:, idx]  # [Bw] + idx.shape
@@ -1248,11 +1300,59 @@ class WitnessProgram:
                     vals = put(
                         base, jnp.sum(isz << sh32_t, axis=-1, dtype=jnp.uint32)
                     )
+                elif oc == "pack":
+                    # field-valued output → the unpacked limb sidecar;
+                    # the packed vals block stays zero (a word cannot
+                    # hold a field value — the check reads flimbs).
+                    assert mixed, "pack stage needs build_packed_mixed"
+                    bv = cols(st.arrs["idx"])  # [Bw, W, nb] packed words
+                    bv = bv ^ (st.arrs["neg"] * FULL)[None]
+                    bv = jnp.where(
+                        (st.arrs["isc"] == 1)[None],
+                        (st.arrs["cv"] * FULL)[None],
+                        bv,
+                    )
+                    n_bits = st.meta
+                    W = bv.shape[1]
+                    sh32_t = jnp.arange(32, dtype=jnp.uint32)
+                    b32 = (bv[..., None] >> sh32_t) & jnp.uint32(1)
+                    # [Bw, W, nb, 32] → per-limb weighted window sums
+                    limbs = []
+                    for j in range(16):
+                        lo_bit = 16 * j
+                        if lo_bit >= n_bits:
+                            limbs.append(
+                                jnp.zeros((Bw, W, 32), jnp.uint32)
+                            )
+                            continue
+                        width = min(16, n_bits - lo_bit)
+                        w = jnp.asarray(
+                            [1 << i for i in range(width)], jnp.uint32
+                        )
+                        limbs.append(
+                            jnp.sum(
+                                b32[:, :, lo_bit : lo_bit + width]
+                                * w[None, None, :, None],
+                                axis=2,
+                                dtype=jnp.uint32,
+                            )
+                        )
+                    r = jnp.stack(limbs, axis=-1)  # [Bw, W, 32, 16]
+                    r_bm = jnp.transpose(r, (0, 2, 1, 3)).reshape(
+                        Bw * 32, W, 16
+                    )
+                    # item.outs holds the FIELD ROWS for pack stages
+                    flimbs = flimbs.at[
+                        :, np.asarray(item.outs, np.int32)
+                    ].set(r_bm)
+                    vals = put(base, jnp.zeros((Bw, W), jnp.uint32))
                 else:  # pragma: no cover — guarded by is_packable
                     raise AssertionError(oc)
             # Undo the contiguous-block permutation: out[:, slot] =
             # vals[:, row_of_slot[slot]] — one column gather at the end.
             u = pool.dev(unperm)
+            if mixed:
+                return vals[:, u], flimbs
             return vals[:, u]
 
         return jax.jit(evaluate)

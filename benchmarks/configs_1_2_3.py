@@ -193,21 +193,23 @@ def config2():
 def config3():
     import jax.numpy as jnp
 
-    from bellpepper_tpu.compile.pipeline import build_production_step
+    from bellpepper_tpu.compile.pipeline import build_packed_production_step
     from bellpepper_tpu.compile.tape import TapeCS
     from bellpepper_tpu.compile.witness_program import WitnessProgram
     from bellpepper_tpu.gadgets.multieq import MultiEq
+    from bellpepper_tpu.gadgets.multipack import pack_bits as gpack
     from bellpepper_tpu.gadgets.uint32 import UInt32
     from bellpepper_tpu.r1cs import ShapeCS
 
-    # multieq-batched equalities + packing; chunk batch sized so each
-    # chunk is ~2^16 constraints.
+    # multieq-batched equalities + multipack of the results into field
+    # elements (multipack.rs:76-105) — the field-bearing bit template.
     def circuit(cs):
         words = [UInt32.alloc(cs.namespace(f"w{i}"), None) for i in range(4)]
         with MultiEq(cs) as mcs:
             acc = words[0]
             for i in range(1, 4):
                 acc = UInt32.addmany(mcs.namespace(f"add {i}"), [acc, words[i]])
+        gpack(cs.namespace("pack"), acc.into_bits())
 
     t0 = time.time()
     shape = ShapeCS()
@@ -217,22 +219,27 @@ def config3():
     circuit(tape)
     prog = WitnessProgram(tape)
     t_synth = time.time() - t0
+    assert not prog.is_packable and prog.is_packable_mixed
 
-    # Bigger steps amortize the per-chunk scan latency: 256-inst chunks
-    # measured 128M c/s, 2048-inst chunks 247M (the template is ~228
-    # rows, so even 2048 instances are < 2^19 constraints per chunk).
-    B = max(128, ((1 << 19) // template.num_constraints) // 128 * 128)
-    n_chunks = 16
-    step = build_production_step(prog, template, B)
+    # MIXED packed path: bit slots 32 instances/uint32 word, the pack
+    # output in an unpacked limb sidecar checked as bit-sliced integer
+    # equality — 99% bit rows no longer forfeit the packed speedup for
+    # the 1% field rows.
+    B, n_chunks = 32768, 4
+    step = build_packed_production_step(prog, template, B)
     free = jnp.asarray(
         np.random.default_rng(7)
-        .integers(0, 2, size=(n_chunks, B, len(prog.free_slots)))
+        .integers(
+            0, 1 << 32, size=(n_chunks, B // 32, len(prog.free_slots)),
+            dtype=np.uint64,
+        )
         .astype(np.uint32)
     )
     dt, ok = _measure_step(step, free)
     _emit(
         "config3 multipack/multieq constraint-evals/s",
         template, B, n_chunks, dt, ok, t_synth,
+        {"witness_layout": "mixed packed (bit words + field limb sidecar)"},
     )
 
 
