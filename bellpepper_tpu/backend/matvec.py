@@ -128,6 +128,7 @@ def build_row_chunked_eval(
     n_chunks: int,
     names=("a", "b", "c"),
     premul_table: Optional[bool] = None,
+    reuse=None,
 ):
     """Row-chunked A·z/B·z/C·z for HUGE single systems: a `lax.scan` over
     contiguous row blocks so only ONE block's per-entry modmul
@@ -143,7 +144,16 @@ def build_row_chunked_eval(
 
     Returns (eval_fn, prep) where eval_fn(z, prep) → (az, bz, cz), each
     uint32[R, 16]. `prep` is a pytree of device buffers — pass it as a
-    jit ARGUMENT (closures embed HLO literals; see DeviceR1CS).
+    jit ARGUMENT (closures embed HLO literals; see DeviceR1CS). ELL-mode
+    entries are stored FLAT ([R·deg]) and reshaped to the chunk grid at
+    trace time, so ONE prep serves any chunk count.
+
+    `reuse=(meta, prep)` — from another call's `eval_fn._layout_meta`
+    and prep — skips the whole host layout build AND the device uploads
+    (hundreds of MB at 2^24 rows): the witness-completion product and
+    the checker share one layout at their own chunk sizes. Requires the
+    reused names to be in ELL or slice mode (segment-sum layouts are
+    chunk-count-specific).
 
     Reference hot loop: test_cs.rs:239-253 (eval per constraint row)."""
     be = get_backend(r.field)
@@ -159,6 +169,7 @@ def build_row_chunked_eval(
         eval_fn._zsrc = lambda z, cl: z
         eval_fn._blocks = None
         eval_fn._blocks_semi = None
+        eval_fn._layout_meta = {"modes": {}, "premul": False}
         return eval_fn, {}
     if n_chunks <= 0 or R_ % n_chunks:
         raise ValueError(
@@ -167,6 +178,44 @@ def build_row_chunked_eval(
     rpc = R_ // n_chunks
     N = r.num_inputs + r.num_aux  # == len(z) rows (input 0 is ONE)
     coeff_vals = [c % r.field.p for c in r.coeff_table]
+
+    if reuse is not None:
+        meta, shared = reuse
+        missing = [n for n in names if n not in meta["modes"]]
+        assert not missing, f"reused layout lacks matrices {missing}"
+        assert all(
+            meta["modes"][n][0] in ("ell", "slice") for n in names
+        ), "segment-sum layouts are chunk-count-specific; cannot reuse"
+        premul_table = meta["premul"]
+        span = meta["span"]
+        offset = meta["offset"]
+        ell_deg = {
+            n: meta["modes"][n][1]
+            for n in names
+            if meta["modes"][n][0] == "ell"
+        }
+        slice_names = {n for n in names if meta["modes"][n][0] == "slice"}
+        full_names = {
+            n
+            for n in names
+            if meta["modes"][n][0] == "ell" and meta["modes"][n][2]
+        }
+        prep = {"coeff_limbs": shared["coeff_limbs"]}
+        for n in names:
+            if n in slice_names:
+                prep[n] = {
+                    "start": jax.device_put(
+                        (
+                            meta["modes"][n][1] + rpc * np.arange(n_chunks)
+                        ).astype(np.int32)
+                    )
+                }
+            else:
+                prep[n] = shared[n]
+        return _finish_row_chunked_eval(
+            r, be, R_, rpc, n_chunks, names, prep, meta, ell_deg,
+            slice_names, full_names, span, offset, premul_table,
+        )
 
     # Column span touched by each non-trivial coefficient, across all
     # requested matrices — premul only covers z[:span_k]. One pass per
@@ -203,6 +252,7 @@ def build_row_chunked_eval(
     ell_deg = {}
     slice_names = set()
     full_names = set()  # mask all-ones: the pad-zeroing multiply is a no-op
+    modes = {}
     for name in names:
         m = getattr(r, name)
         rows_np = np.asarray(m.rows)
@@ -259,10 +309,6 @@ def build_row_chunked_eval(
                     flat_cols[pos] = np.asarray(m.cols)[order]
                     flat_cids[pos] = np.asarray(m.coeff_ids)[order]
                 flat_mask[pos] = 1
-            cols_p = flat_cols.reshape(n_chunks, e_max)
-            cids_p = flat_cids.reshape(n_chunks, e_max)
-            mask_p = flat_mask.reshape(n_chunks, e_max)
-            lrow_p = np.zeros((n_chunks, 1), np.int32)  # unused in ELL
             # Contiguous identity matrix (e.g. C rows selecting a dense
             # aux segment, cols = base + row): the per-entry gather — the
             # dominant cost at ~30 ns/index — collapses to one
@@ -282,6 +328,8 @@ def build_row_chunked_eval(
                 )
             ):
                 slice_names.add(name)
+                del ell_deg[name]
+                modes[name] = ("slice", int(flat_cols[0]))
                 prep[name] = {
                     "start": jax.device_put(
                         (int(flat_cols[0]) + rpc * np.arange(n_chunks)).astype(
@@ -290,6 +338,8 @@ def build_row_chunked_eval(
                     )
                 }
                 continue
+            cols_p, cids_p, mask_p = flat_cols, flat_cids, flat_mask
+            lrow_p = None  # unused in ELL mode
         else:
             order = np.argsort(rows_np, kind="stable")
             rows_s = rows_np[order]
@@ -310,7 +360,7 @@ def build_row_chunked_eval(
                 cids_p[k, :n] = cids_s[s:e]
                 lrow_p[k, :n] = rows_s[s:e] - k * rpc
                 mask_p[k, :n] = 1
-        entry = {"lrow": jax.device_put(lrow_p)}
+        entry = {} if lrow_p is None else {"lrow": jax.device_put(lrow_p)}
         if premul_table:
             # host-side remap: identity → col, zero → masked out,
             # non-trivial → its premul slice. One lookup-table pass; the
@@ -325,7 +375,7 @@ def build_row_chunked_eval(
                 off_lut[k] = offset[k]
             src_p = cols_p + off_lut[cids_p]
             zero_ids = [k for k, cv in enumerate(coeff_vals) if cv == 0]
-            has_pad = not bool(mask_p.all())
+            full = bool(mask_p.all())
             has_zero = bool(
                 np.isin(np.asarray(zero_ids, np.int32), cids_p).any()
             ) if zero_ids else False
@@ -333,21 +383,49 @@ def build_row_chunked_eval(
                 is_zero = np.asarray([cv == 0 for cv in coeff_vals])
                 mask_p = mask_p.copy()
                 mask_p[is_zero[cids_p]] = 0
-                has_pad = True
-            if has_pad:
+                full = False
+            if not full:
                 src_p[mask_p == 0] = 0
             entry["src"] = jax.device_put(src_p)
-            entry["mask"] = jax.device_put(mask_p)
+            if not full:
+                # full masks are a device no-op — skip the (hundreds of
+                # MB at 2^24 rows) upload entirely
+                entry["mask"] = jax.device_put(mask_p)
         else:
+            full = bool(mask_p.all())
             entry["cols"] = jax.device_put(cols_p)
             entry["cids"] = jax.device_put(cids_p)
-            entry["mask"] = jax.device_put(mask_p)
+            if not full:
+                entry["mask"] = jax.device_put(mask_p)
         prep[name] = entry
-        if bool(mask_p.all()):
+        if full:
             full_names.add(name)
+        if name in ell_deg:
+            modes[name] = ("ell", ell_deg[name], full)
+        else:
+            modes[name] = ("seg",)
     prep["coeff_limbs"] = jax.device_put(
         jnp.asarray(be.to_limbs(r.coeff_table))
     )
+    meta = {
+        "premul": premul_table,
+        "span": span,
+        "offset": offset,
+        "modes": modes,
+    }
+    return _finish_row_chunked_eval(
+        r, be, R_, rpc, n_chunks, names, prep, meta, ell_deg, slice_names,
+        full_names, span, offset, premul_table,
+    )
+
+
+def _finish_row_chunked_eval(
+    r, be, R_, rpc, n_chunks, names, prep, meta, ell_deg, slice_names,
+    full_names, span, offset, premul_table,
+):
+    """Closure construction for build_row_chunked_eval (shared by the
+    fresh-build and layout-reuse paths)."""
+    N = r.num_inputs + r.num_aux
 
     # Premul multiplies run per check/eval CALL: on TPU route them through
     # the Pallas kernel (570M muls/s) — the jnp schoolbook modmul is
@@ -470,9 +548,24 @@ def build_row_chunked_eval(
             outs.append(_carry16_semi(v))
         return tuple(outs)
 
-    semi_ok = all(n in ell_deg for n in names) and (
-        max((ell_deg[n] for n in names), default=1) <= _SEMI_MAX_DEG
+    semi_ok = all(
+        n in ell_deg or n in slice_names for n in names
+    ) and (
+        max((ell_deg[n] for n in names if n in ell_deg), default=1)
+        <= _SEMI_MAX_DEG
     )
+
+    def _xs(prep, nm):
+        """Per-chunk scan inputs: ELL entries are stored FLAT (so one
+        prep serves any chunk count) — reshape to the chunk grid here
+        (metadata-only on device arrays)."""
+        out = []
+        for name in nm:
+            e = prep[name]
+            if name in ell_deg:
+                e = {k: v.reshape(n_chunks, -1) for k, v in e.items()}
+            out.append(e)
+        return tuple(out)
 
     def eval_fn(z, prep):
         cl = prep["coeff_limbs"]
@@ -481,9 +574,7 @@ def build_row_chunked_eval(
         def body(carry, xs):
             return carry, _blocks(zsrc, cl, xs, names)
 
-        _, outs = jax.lax.scan(
-            body, 0, tuple(prep[name] for name in names)
-        )
+        _, outs = jax.lax.scan(body, 0, _xs(prep, names))
         return tuple(o.reshape(R_, 16) for o in outs)
 
     eval_fn._zsrc = _zsrc
@@ -491,6 +582,8 @@ def build_row_chunked_eval(
     eval_fn._blocks_semi = _blocks_semi
     eval_fn._semi_ok = semi_ok
     eval_fn._rpc = rpc
+    eval_fn._xs = _xs
+    eval_fn._layout_meta = meta
     return eval_fn, prep
 
 
@@ -519,6 +612,7 @@ def build_row_chunked_product(
     n_chunks: int,
     premul_table: Optional[bool] = None,
     use_pallas: Optional[bool] = None,
+    reuse=None,
 ):
     """(A·z) ∘ (B·z) row-chunked: the witness-completion primitive for
     product-form systems (aux segment = per-row products). Fusing the
@@ -526,11 +620,16 @@ def build_row_chunked_product(
     — separate az/bz outputs double the O(R·16) footprint, which is the
     difference between fitting and OOM at 2^24 rows.
 
-    Returns (prod_fn, prep); prod_fn(z, prep) → uint32[R, 16]."""
+    Returns (prod_fn, prep); prod_fn(z, prep) → uint32[R, 16].
+    `reuse=(check_fn._layout_meta, prep)` shares another call's layout
+    and device buffers (the product and the checker read the same A/B
+    index arrays — a second build costs seconds of numpy and hundreds
+    of MB of transfers at 2^24 rows)."""
     if r.num_constraints == 0:
         return (lambda z, prep: jnp.zeros((0, 16), jnp.uint32)), {}
     eval_fn, prep = build_row_chunked_eval(
-        r, n_chunks, names=("a", "b"), premul_table=premul_table
+        r, n_chunks, names=("a", "b"), premul_table=premul_table,
+        reuse=reuse,
     )
     R_ = r.num_constraints
     _zsrc, _blocks = eval_fn._zsrc, eval_fn._blocks
@@ -544,9 +643,10 @@ def build_row_chunked_product(
             az, bz = _blocks(zsrc, cl, xs, ("a", "b"))
             return carry, _mul(az, bz)
 
-        _, prod = jax.lax.scan(body, 0, (prep["a"], prep["b"]))
+        _, prod = jax.lax.scan(body, 0, eval_fn._xs(prep, ("a", "b")))
         return prod.reshape(R_, 16)
 
+    prod_fn._layout_meta = eval_fn._layout_meta
     return prod_fn, prep
 
 
@@ -555,18 +655,21 @@ def build_row_chunked_check(
     n_chunks: int,
     premul_table: Optional[bool] = None,
     use_pallas: Optional[bool] = None,
+    reuse=None,
 ):
     """Row-chunked satisfiability for one HUGE system on ONE device:
     scan row blocks, keep only (n_bad, first) — nothing O(R) is ever
     materialized beyond the scan's per-block temporaries.
 
-    Returns (check_fn, prep); check_fn(z, prep) → (n_bad, first_row)."""
+    Returns (check_fn, prep); check_fn(z, prep) → (n_bad, first_row).
+    check_fn._layout_meta + prep can be passed as `reuse` to
+    build_row_chunked_product to share the layout and device buffers."""
     if r.num_constraints == 0:
         return (
             lambda z, prep: (jnp.uint32(0), jnp.uint32(0xFFFFFFFF))
         ), {}
     eval_fn, prep = build_row_chunked_eval(
-        r, n_chunks, premul_table=premul_table
+        r, n_chunks, premul_table=premul_table, reuse=reuse
     )
     rpc = eval_fn._rpc
     _zsrc, _blocks = eval_fn._zsrc, eval_fn._blocks
@@ -610,10 +713,11 @@ def build_row_chunked_check(
                 return k + 1, (nb, first)
 
             _, (nbs, firsts) = jax.lax.scan(
-                body, jnp.int32(0), (prep["a"], prep["b"], prep["c"])
+                body, jnp.int32(0), eval_fn._xs(prep, ("a", "b", "c"))
             )
             return jnp.sum(nbs), jnp.min(firsts)
 
+        check_fn._layout_meta = eval_fn._layout_meta
         return check_fn, prep
 
     _mul = _row_block_mul(r, rpc, use_pallas)
@@ -635,10 +739,11 @@ def build_row_chunked_check(
             return k + 1, (nb, first)
 
         _, (nbs, firsts) = jax.lax.scan(
-            body, jnp.int32(0), (prep["a"], prep["b"], prep["c"])
+            body, jnp.int32(0), eval_fn._xs(prep, ("a", "b", "c"))
         )
         return jnp.sum(nbs), jnp.min(firsts)
 
+    check_fn._layout_meta = eval_fn._layout_meta
     return check_fn, prep
 
 

@@ -21,7 +21,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 # (harness argv, expected number of JSON lines)
 RUNS = [
     ([sys.executable, "benchmarks/configs_1_2_3.py"], 3),
-    ([sys.executable, "benchmarks/config4_merkle_1024.py"], 2),
+    ([sys.executable, "benchmarks/config4_merkle_1024.py"], 3),
     ([sys.executable, "benchmarks/config5_synthetic_r1cs.py", "24", "1"], 1),
 ]
 
@@ -37,7 +37,7 @@ _TRANSIENT = (
 )
 
 
-def _run(argv, timeout=900):
+def _run(argv, timeout=1800):
     p = subprocess.run(
         argv,
         cwd=HERE,

@@ -85,18 +85,48 @@ def main():
     z0[N0 + 1 :] = 0  # product segment unknown
     z = jnp.asarray(z0)
 
-    # Row-chunked A·z/B·z (a lax.scan over row blocks): the monolithic
+    # Row-chunked layouts (a lax.scan over row blocks): the monolithic
     # eval's per-entry digit intermediates need ~54 GB of HLO temps at
     # 2^24 rows; chunked, only one block's temporaries are live. The
     # layout rides as a jit ARGUMENT (closures embed HLO literals and
-    # overflow the compile transport at this size).
-    from bellpepper_tpu.backend.matvec import build_row_chunked_product
+    # overflow the compile transport at this size). The CHECK builds the
+    # layout ONCE; witness completion reuses it at its own (smaller)
+    # measured chunk optimum — ELL entries are stored flat, so one
+    # upload serves both chunk counts.
+    from bellpepper_tpu.backend.matvec import (
+        build_row_chunked_check,
+        build_row_chunked_product,
+    )
 
     log2_rpc = int(sys.argv[3]) if len(sys.argv) > 3 else 19
+    row_chunked = n_dev == 1 and log2_r >= 23
+    t0 = time.time()
+    reuse = None
+    if row_chunked:
+        check_fn, prep_chk = build_row_chunked_check(r1cs, max(1, R >> log2_rpc))
+        check_jit = jax.jit(check_fn)
+        reuse = (check_fn._layout_meta, prep_chk)
+
+        def run_check(zz):
+            return check_jit(zz, prep_chk)
+
+    else:
+        mesh = default_mesh(n_dev)
+        sat = RowShardedSatisfier(r1cs, mesh)
+
+        def run_check(zz):
+            return sat._check(zz)
+
+    t_shard_build = time.time() - t0
+
     # Witness completion (gather + Pallas modmul scan body) has its own
     # measured chunk optimum, smaller than the check's.
     n_wit_chunks = max(1, R >> min(log2_rpc, 17))
-    prod_fn, prep_ab = build_row_chunked_product(r1cs, n_wit_chunks)
+    t0 = time.time()
+    prod_fn, prep_ab = build_row_chunked_product(
+        r1cs, n_wit_chunks, reuse=reuse
+    )
+    t_wit_build = time.time() - t0
 
     from functools import partial
 
@@ -113,28 +143,6 @@ def main():
     z2 = complete_witness(jnp.copy(z), prep_ab)
     _ = int(jnp.sum(z2[0, :1]))
     t_witness = time.time() - t0
-
-    # --- check: row-sharded over the mesh (≤2^22 per device) or
-    # row-chunked scan on one device (HBM-bounded at 2^24) ---
-    row_chunked = n_dev == 1 and log2_r >= 23
-    t0 = time.time()
-    if row_chunked:
-        from bellpepper_tpu.backend.matvec import build_row_chunked_check
-
-        check_fn, prep_chk = build_row_chunked_check(r1cs, max(1, R >> log2_rpc))
-        check_jit = jax.jit(check_fn)
-
-        def run_check(zz):
-            return check_jit(zz, prep_chk)
-
-    else:
-        mesh = default_mesh(n_dev)
-        sat = RowShardedSatisfier(r1cs, mesh)
-
-        def run_check(zz):
-            return sat._check(zz)
-
-    t_shard_build = time.time() - t0
     t0 = time.time()
     nb0, _f0 = run_check(z)
     ok = int(nb0) == 0
@@ -177,7 +185,13 @@ def main():
                     "host_build_s": round(t_build, 3),
                     "witness_completion_s": round(t_witness, 4),
                     "shard_build_s": round(t_shard_build, 2),
+                    "witness_layout_build_s": round(t_wit_build, 3),
                     "check_s": round(t_check, 4),
+                    "end_to_end_s": round(
+                        t_build + t_shard_build + t_wit_build + t_witness
+                        + t_check,
+                        2,
+                    ),
                 },
             }
         )

@@ -83,10 +83,11 @@ def test_slice_mode_detected_and_semi_matches_canonical():
     z_raw = jnp.asarray(
         rng.integers(0, 1 << 16, size=z.shape).astype(np.uint32)
     )
+    xs_all = ef._xs(prep, ("a", "b", "c"))  # ELL entries stored flat
     for zz in (z, z_raw):
         zsrc = ef._zsrc(zz, cl)
         for k in range(4):
-            xs = jax.tree.map(lambda a: a[k], (prep["a"], prep["b"], prep["c"]))
+            xs = jax.tree.map(lambda a: a[k], xs_all)
             cans = ef._blocks(zsrc, cl, xs, ("a", "b", "c"))
             semis = ef._blocks_semi(zsrc, cl, xs, ("a", "b", "c"))
             for name, can, semi in zip("abc", cans, semis):
@@ -127,7 +128,7 @@ def test_semi_check_path_interpret():
     mulcmp = make_mulcmp(SCALAR, interpret=True)
     cl = prep["coeff_limbs"]
     zsrc = ef._zsrc(z, cl)
-    xs0 = jax.tree.map(lambda a: a[0], (prep["a"], prep["b"], prep["c"]))
+    xs0 = jax.tree.map(lambda a: a[0], ef._xs(prep, ("a", "b", "c")))
     az, bz, cz = ef._blocks_semi(zsrc, cl, xs0, ("a", "b", "c"))
     bad = mulcmp(az, bz, cz)
     assert int(jnp.sum((bad != 0).astype(jnp.uint32))) == 0
@@ -175,3 +176,28 @@ def test_zero_constraint_system_vacuously_satisfied():
     assert prod(z, prep2).shape == (0, 16)
     viol = build_templated_check(r0, 1, False, "limbs")
     assert viol(z[None]).shape == (0,)
+
+
+def test_layout_reuse_across_chunk_counts():
+    """One layout build must serve both the checker and the
+    witness-completion product at DIFFERENT chunk counts (flat ELL
+    entries + trace-time reshape): same verdicts, same products, no
+    second device upload."""
+    from bellpepper_tpu.backend.matvec import (
+        build_row_chunked_check,
+        build_row_chunked_product,
+    )
+
+    r1cs, z, be = _synthetic()
+    check, prep = build_row_chunked_check(r1cs, 4)
+    prod_r, prep_r = build_row_chunked_product(
+        r1cs, 8, reuse=(check._layout_meta, prep)
+    )
+    # reused prep shares the very same device buffers for a and b
+    assert prep_r["a"] is prep["a"] and prep_r["b"] is prep["b"]
+    prod_f, prep_f = build_row_chunked_product(r1cs, 8)
+    got_r = np.asarray(jax.jit(prod_r)(z, prep_r))
+    got_f = np.asarray(jax.jit(prod_f)(z, prep_f))
+    assert (got_r == got_f).all()
+    nb, _ = jax.jit(check)(z, prep)
+    assert int(nb) == 0
