@@ -148,7 +148,7 @@ def main():
             "satisfied": ok_first and not any_bad and check_ok,
             "corruption_detected": bool(detected),
             "step_s": round(t_step, 4),
-            "witness_gen_2e20_s": round(t_wit_2e20, 4),
+            "witness_gen_2e20_us": round(t_wit_2e20 * 1e6, 1),
             "witness_elements_per_s": round(witness_elems_per_s, 1),
             "host_synthesis_s": round(t_synth, 2),
             "host_split_s": {

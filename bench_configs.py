@@ -37,14 +37,19 @@ _TRANSIENT = (
 )
 
 
-def _run(argv, timeout=1800):
-    p = subprocess.run(
-        argv,
-        cwd=HERE,
-        capture_output=True,
-        text=True,
-        timeout=timeout,
-    )
+def _run(argv, timeout=3000):
+    try:
+        p = subprocess.run(
+            argv,
+            cwd=HERE,
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired as e:
+        # record the timeout as a failure instead of aborting the whole
+        # sweep (and losing every other harness's fresh numbers)
+        return 124, [], f"timeout after {timeout}s: {e}"
     lines = [
         json.loads(ln)
         for ln in p.stdout.splitlines()

@@ -16,6 +16,14 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax as _jax_cache
+
+_jax_cache.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+_jax_cache.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import time
 
 import numpy as np

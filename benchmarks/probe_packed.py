@@ -12,6 +12,14 @@ Usage: python benchmarks/probe_packed.py [batches...]  (default 4096 8192 16384)
 import json
 import os
 import sys
+import jax as _jax_cache
+
+_jax_cache.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+_jax_cache.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -8,6 +8,14 @@ Usage: python benchmarks/probe_pow2_kernel.py [batches...] (default 32768)
 
 import os
 import sys
+import jax as _jax_cache
+
+_jax_cache.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+_jax_cache.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
