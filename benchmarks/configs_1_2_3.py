@@ -130,19 +130,27 @@ def config1():
     )
     dt, ok = _measure_step(step, free)
 
-    # field-path witness generation rate (scan-structured field stages)
-    v0, f0 = prog.run(free[0])
-    _ = int(jnp.sum(v0[0, :1]))
+    # field-path witness generation rate: the chunk-scanned generator
+    # (one dispatch for all chunks — the shape the production step uses;
+    # eager per-call prog.run pays ~35 ms of tunnel dispatch per chunk
+    # and measured 20x slower than the pipeline's witness stage)
+    from bellpepper_tpu.compile.pipeline import build_chunked_witness
+
+    gen = build_chunked_witness(prog)
+    v0 = gen(free)
+    _ = int(jnp.sum(v0[0, 0, :1]))
     wreps = 8
     t0 = time.time()
-    outs = [prog.run(free[i % n_chunks])[1] for i in range(wreps)]
-    _ = int(jnp.sum(outs[-1][0, 0]))
+    outs = [gen(free) for _ in range(wreps)]
+    _ = int(jnp.sum(outs[-1][0, 0, :1]))
     t_wit = (time.time() - t0) / wreps
+    _unused, f0 = prog.run(free[0, :128])
     n_field_elems = B * (len(prog.free_field_slots) + f0.shape[1])
     extra = {
         "field_witness_elements_per_s": round(
-            B * prog.num_slots / t_wit, 1
+            n_chunks * B * prog.num_slots / t_wit, 1
         ),
+        "witness_gen_s": round(t_wit, 4),
         "field_values_per_chunk": int(n_field_elems),
     }
     _emit(

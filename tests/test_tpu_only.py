@@ -156,3 +156,112 @@ def test_fused_limbs_matvec_matches_host_oracle():
     bad = np.asarray(viol(jnp.asarray(z3b))).reshape(B, template.num_constraints)
     assert list(np.nonzero(bad[17])[0]) == host_bad
     assert bad[np.arange(B) != 17].sum() == 0
+
+
+def test_mixed_form_pallas_matches_cpu_lowering():
+    """The MIXED witness form's Pallas path (fused mul-compare for
+    product rows) must agree with the use_pallas=False lowering on the
+    real chip — valid witness and corruptions."""
+    import jax.numpy as jnp
+
+    from bellpepper_tpu.backend.matvec import build_templated_check
+    from bellpepper_tpu.compile.tape import TapeCS
+    from bellpepper_tpu.compile.witness_program import WitnessProgram
+    from bellpepper_tpu.gadgets.boolean import AllocatedBit, Boolean
+    from bellpepper_tpu.gadgets.multipack import pack_bits as gpack
+    from bellpepper_tpu.r1cs import ShapeCS
+
+    def circuit(cs):
+        bs = [
+            Boolean.from_bit(AllocatedBit.alloc(cs.namespace(f"b{i}"), None))
+            for i in range(32)
+        ]
+        a = gpack(cs.namespace("pa"), bs[:16])
+        b = gpack(cs.namespace("pb"), bs[16:])
+        x = a
+        for i in range(4):
+            x = x.mul(cs.namespace(f"m{i}"), b)
+            x = x.add(cs.namespace(f"a{i}"), a)
+            x = x.square(cs.namespace(f"s{i}"))
+
+    shape = ShapeCS()
+    circuit(shape)
+    template = shape.finish()
+    tape = TapeCS()
+    circuit(tape)
+    prog = WitnessProgram(tape)
+    fs = sorted(prog.field_rows, key=prog.field_rows.get)
+
+    B = 1024
+    rng = np.random.default_rng(17)
+    free = rng.integers(0, 2, size=(B, 32)).astype(np.uint32)
+    vals, flimbs = prog.run(jnp.asarray(free))
+
+    viol_t = jax.jit(
+        build_templated_check(template, B, True, "mixed", field_slots=fs)
+    )
+    viol_c = jax.jit(
+        build_templated_check(template, B, False, "mixed", field_slots=fs)
+    )
+    m_t = np.asarray(viol_t(vals, flimbs))
+    m_c = np.asarray(viol_c(vals, flimbs))
+    assert m_t.sum() == 0 and (m_t == m_c).all()
+    for b, s, limb in ((3, 34, 0), (77, 1, 0), (500, 40, 7)):
+        if s in fs:
+            fl_bad = flimbs.at[b, fs.index(s), limb].set(
+                flimbs[b, fs.index(s), limb] ^ np.uint32(0x31)
+            )
+            m_t = np.asarray(viol_t(vals, fl_bad))
+            m_c = np.asarray(viol_c(vals, fl_bad))
+        else:
+            v_bad = vals.at[b, s].set(vals[b, s] ^ np.uint32(1))
+            m_t = np.asarray(viol_t(v_bad, flimbs))
+            m_c = np.asarray(viol_c(v_bad, flimbs))
+        assert m_t.sum() > 0 and (m_t == m_c).all()
+
+
+def test_kernel_v2_tails_on_chip():
+    """v2 canonicalization (quotient estimate) and the Montgomery
+    zero-test, compiled for the real chip: modmul kernel vs the host
+    bigint oracle on corner operands; mulcmp on exact multiples."""
+    import jax.numpy as jnp
+
+    from bellpepper_tpu.backend.field_pallas import (
+        SEMI,
+        get_pallas_ops,
+        make_mulcmp,
+    )
+    from bellpepper_tpu.fields import SCALAR
+
+    p = SCALAR.p
+    ops_list = [0, 1, 2, p - 1, p - 2, (p - 1) // 2, p >> 128, 12345]
+    pairs = [(a, b) for a in ops_list for b in ops_list]
+    n = 1024
+    pairs = (pairs * (n // len(pairs) + 1))[:n]
+    a_lm = np.zeros((16, n), np.uint32)
+    b_lm = np.zeros((16, n), np.uint32)
+    for j, (a, b) in enumerate(pairs):
+        for i in range(16):
+            a_lm[i, j] = (a >> (16 * i)) & 0xFFFF
+            b_lm[i, j] = (b >> (16 * i)) & 0xFFFF
+    ops = get_pallas_ops(SCALAR)
+    out = np.asarray(ops.mul(jnp.asarray(a_lm), jnp.asarray(b_lm)))
+    for j, (a, b) in enumerate(pairs):
+        got = sum(int(out[i, j]) << (16 * i) for i in range(16))
+        assert got == a * b % p, f"pair {j}: ({a}, {b})"
+
+    mc = make_mulcmp(SCALAR)
+    c_lm = np.zeros((SEMI, n), np.uint32)
+    for j, (a, b) in enumerate(pairs):
+        c = a * b % p
+        if j % 3 == 0 and c != (c ^ 1):
+            c ^= 1  # corrupt every 3rd product
+        for i in range(SEMI):
+            c_lm[i, j] = (c >> (16 * i)) & 0xFFFF
+    a17 = np.concatenate([a_lm, np.zeros((1, n), np.uint32)])
+    b17 = np.concatenate([b_lm, np.zeros((1, n), np.uint32)])
+    bad = np.asarray(mc(jnp.asarray(a17), jnp.asarray(b17), jnp.asarray(c_lm)))
+    for j, (a, b) in enumerate(pairs):
+        c_val = sum(int(c_lm[i, j]) << (16 * i) for i in range(SEMI))
+        expect_bad = (a * b % p) != (c_val % p)
+        assert (bad[j] != 0) == expect_bad, f"pair {j}"
