@@ -1713,7 +1713,16 @@ def _build_mixed_check(template: R1CS, batch: int, use_pallas: bool,
         max_f = int(f_on.sum(axis=0).astype(bool).sum()) if n else 0
         max_u = int(u_on.sum(axis=0).astype(bool).sum()) if n else 0
         any_const = bool(const.any())
+        fast_single_field = bool(
+            n
+            and max_f == 1
+            and max_u == 0
+            and not any_const
+            and not f_neg.any()
+            and f_on[:, 0].all()
+        )
         return {
+            "fast_single_field": fast_single_field,
             "const": jax.device_put(const),
             "any_const": any_const,
             "f_idx": jax.device_put(f_idx),
@@ -1754,6 +1763,18 @@ def _build_mixed_check(template: R1CS, batch: int, use_pallas: bool,
         """[B, n, 17] semi-reduced operand (< 4p; 16-bit limbs)."""
         n = spec["const"].shape[0]
         B = vals.shape[0]
+        # Fast path: every row is ONE positive field term with no
+        # constant (the shape of every mul/square operand in gadget
+        # circuits, num.rs:311-373) — the gathered canonical limbs ARE
+        # the assembled operand; the const broadcast + where-mask +
+        # carry chain below would cost ~50 no-op passes over the
+        # [B, n, 17] planes.
+        if spec["fast_single_field"]:
+            x16 = flimbs[:, spec["f_idx"][:, 0]]  # [B, n, 16]
+            return jnp.concatenate(
+                [x16, jnp.zeros(x16.shape[:-1] + (1,), jnp.uint32)],
+                axis=-1,
+            )
         acc = jnp.broadcast_to(
             spec["const"][None], (B, n, 17)
         ).astype(jnp.uint32)

@@ -66,7 +66,11 @@ def _find_period(opcodes, max_d: int = MAX_PATTERN):
     return None
 
 
-_CHAIN_MAX_STEPS = 64  # per-kernel-call step cap: 64·16 rows ≈ 4 MB VMEM out block
+# Per-kernel-call step cap: 96·16 rows ≈ 6 MB VMEM out block. 96 lets
+# config-1-shaped chains (30 reps × 3 ops) run in ONE kernel call per
+# chunk — the extra inter-segment HBM round trip at cap 64 measured
+# ~4% of the whole production step (523 → 542M c/s A/B on v5e).
+_CHAIN_MAX_STEPS = 96
 
 
 def _detect_linear_chain(run):
