@@ -3510,6 +3510,7 @@ class TemplatedSatisfier:
         use_pallas: bool | None = None,
         witness_form: str | None = None,
         config=None,
+        field_slots=None,
     ):
         if config is not None:
             batch = config.batch if batch is None else batch
@@ -3526,12 +3527,16 @@ class TemplatedSatisfier:
         self.witness_form = witness_form
         self.backend = get_backend(template.field)
         violations = build_templated_check(
-            template, batch, use_pallas, witness_form
+            template, batch, use_pallas, witness_form,
+            field_slots=field_slots,
         )
+        # mixed form takes the (vals, flimbs) pair the witness program
+        # produces; every other form takes one z array.
+        self._n_args = 2 if witness_form == "mixed" else 1
 
         @jax.jit
-        def check(z3):
-            bad = violations(z3)
+        def check(*z):
+            bad = violations(*z)
             return jnp.any(bad), jnp.argmax(bad)
 
         self._check = check
@@ -3540,12 +3545,20 @@ class TemplatedSatisfier:
     def z_from_instances(self, z3: jnp.ndarray) -> jnp.ndarray:
         return jnp.asarray(z3, jnp.uint32)
 
+    def _args(self, z):
+        if self._n_args == 2:
+            assert isinstance(z, tuple) and len(z) == 2, (
+                "mixed form takes z = (vals, flimbs)"
+            )
+            return z
+        return (z,)
+
     def is_satisfied(self, z3) -> bool:
-        any_bad, _ = self._check(z3)
+        any_bad, _ = self._check(*self._args(z3))
         return not bool(any_bad)
 
     def which_is_unsatisfied(self, z3) -> Optional[str]:
-        any_bad, first = self._check(z3)
+        any_bad, first = self._check(*self._args(z3))
         if not bool(any_bad):
             return None
         flat = int(first)

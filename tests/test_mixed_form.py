@@ -261,6 +261,34 @@ def test_mixed_fallback_rows():
     _run_mixed_vs_limbs(template, prog, B, free)
 
 
+def test_templated_satisfier_mixed_form():
+    """TemplatedSatisfier accepts the (vals, flimbs) pair directly with
+    witness_form='mixed' — the user-facing API over the mixed check."""
+    from bellpepper_tpu.backend.matvec import TemplatedSatisfier
+
+    def circuit(cs):
+        bs = [
+            Boolean.from_bit(AllocatedBit.alloc(cs.namespace(f"b{i}"), None))
+            for i in range(16)
+        ]
+        a = pack_bits(cs.namespace("pa"), bs[:8])
+        b = pack_bits(cs.namespace("pb"), bs[8:])
+        a.mul(cs.namespace("m"), b).square(cs.namespace("s"))
+
+    template, prog = _compile(circuit)
+    fs = _field_slots(prog)
+    B = 8
+    free = RNG.integers(0, 2, size=(B, 16)).astype(np.uint32)
+    vals, flimbs = prog.run(free)
+    sat = TemplatedSatisfier(
+        template, B, use_pallas=False, witness_form="mixed", field_slots=fs
+    )
+    assert sat.is_satisfied((vals, flimbs))
+    fl_bad = flimbs.at[2, 2, 0].set(flimbs[2, 2, 0] ^ 1)
+    which = sat.which_is_unsatisfied((vals, fl_bad))
+    assert which is not None and which.startswith("instance 2:")
+
+
 def test_mixed_matches_host_oracle_end_to_end():
     """Mixed-form verdict against R1CS.eval_host for random instances of
     a field circuit (ground truth beyond the limbs-path comparison)."""
