@@ -229,11 +229,18 @@ def sharded_packed_witness_and_check(
         "instances (16 packed words) per device"
     )
     Rt = template.num_constraints
+    # Field-bearing bit templates (multipack outputs) take the MIXED
+    # packed layout: bit words + an unpacked field-limb sidecar.
+    mixed = not prog.is_packable and prog.is_packable_mixed
+    field_slots = (
+        sorted(prog.field_rows, key=prog.field_rows.get) if mixed else None
+    )
     violations = build_templated_check(
-        template, local_b, use_pallas, "bits_packed"
+        template, local_b, use_pallas, "bits_packed",
+        field_slots=field_slots,
     )
     verdict = getattr(violations, "verdict", None)
-    evaluator = prog.build_packed()
+    evaluator = prog.build_packed_mixed() if mixed else prog.build_packed()
     sentinel = jnp.uint32(0xFFFFFFFF)
 
     from jax import shard_map
@@ -246,11 +253,16 @@ def sharded_packed_witness_and_check(
         check_vma=False,  # pallas_call outputs carry no vma info
     )
     def step_local(free_packed_local):
-        vals_p = evaluator(free_packed_local)  # [local_b/32, S_t]
-        if verdict is not None:
-            nb, first = verdict(vals_p)
+        if mixed:
+            vals_p, flimbs = evaluator(free_packed_local)
+            args = (vals_p, flimbs)
         else:
-            bad = violations(vals_p)
+            vals_p = evaluator(free_packed_local)  # [local_b/32, S_t]
+            args = (vals_p,)
+        if verdict is not None:
+            nb, first = verdict(*args)
+        else:
+            bad = violations(*args)
             nb = jnp.sum(bad.astype(jnp.uint32))
             first = jnp.where(
                 nb > 0, jnp.argmax(bad).astype(jnp.uint32), sentinel

@@ -132,3 +132,29 @@ def test_mixed_packed_production_step():
     step = build_packed_production_step(prog, template, B, use_pallas=False)
     total, _first = step(jnp.asarray(free))
     assert int(total) == 0
+
+
+def test_mixed_packed_sharded_step():
+    """The sharded packed step must route field-bearing bit templates
+    (multipack outputs) through the MIXED packed layout and agree with
+    single-device execution."""
+    from bellpepper_tpu.backend.sharding import (
+        default_mesh,
+        sharded_packed_witness_and_check,
+    )
+
+    template, prog = _setup()
+    mesh = default_mesh()
+    n_dev = mesh.devices.size
+    B = 512 * n_dev
+    free = RNG.integers(0, 2, size=(B, len(prog.free_slots))).astype(
+        np.uint32
+    )
+    fp = pack_bits(jnp.asarray(free))
+    step, in_sharding = sharded_packed_witness_and_check(
+        prog, template, B, mesh, use_pallas=False
+    )
+    n_bad, first, vals_p = step(jax.device_put(fp, in_sharding))
+    assert int(n_bad) == 0 and int(first) == 0xFFFFFFFF
+    vals_single, _fl = prog.build_packed_mixed()(fp)
+    assert np.array_equal(np.asarray(vals_p), np.asarray(vals_single))
